@@ -1,0 +1,197 @@
+"""ResNet encoder–decoder generator (TPU-native rebuild of the reference
+``ResnetGenerator`` / ``ResnetGenerator_inject``, ``model/networks.py:316-434``
+and ``model/generator_inject.py:7-135``).
+
+Design notes (TPU-first, not a translation):
+  * NHWC layout end-to-end; all convs are single ``lax.conv_general_dilated``
+    calls in (NHWC, HWIO) so XLA tiles them onto the MXU.
+  * Instance-norm + activation chains are left to XLA fusion (f32 statistics
+    under bf16 compute — see ``ops/norm.py``).
+  * The SatCLIP injection variant is folded into the same module instead of a
+    class copy: embedding FC → 128² plane → bilinear resize (a 2-matmul MXU
+    op, ``ops/resize.py``) → broadcast-multiply into the post-downsample
+    feature map.  Semantics match the reference exactly, including the
+    split point *after* the first downsample conv's norm and *before* its
+    ReLU (``model/generator_inject.py:107`` splits at ``model[:6]``).
+  * Static shapes only; arbitrary tile sizes are handled by the predictor's
+    pad-to-bucket logic, not by the network.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from nirgan_tpu.models.layers import (
+    Norm,
+    TorchConv,
+    TorchConvTranspose,
+    TorchDense,
+    use_bias_for,
+)
+from nirgan_tpu.ops import initializers as inits
+from nirgan_tpu.ops.pad import reflect_pad2d
+from nirgan_tpu.ops.resize import resize_bilinear
+
+
+def _pad(x, padding_type: str, amount: int = 1):
+    if padding_type == "reflect":
+        return reflect_pad2d(x, amount)
+    if padding_type == "replicate":
+        return jnp.pad(x, ((0, 0), (amount, amount), (amount, amount), (0, 0)), mode="edge")
+    if padding_type == "zero":
+        return jnp.pad(x, ((0, 0), (amount, amount), (amount, amount), (0, 0)))
+    raise NotImplementedError(f"padding [{padding_type}] is not implemented")
+
+
+class ResnetBlock(nn.Module):
+    """Residual block: pad → conv3 → norm → relu (→ dropout) → pad → conv3 →
+    norm, plus identity skip (reference ``model/networks.py:377-434``)."""
+
+    dim: int
+    padding_type: str = "reflect"
+    norm_type: str = "instance"
+    use_dropout: bool = False
+    use_bias: bool = True
+    kernel_init: Callable = inits.normal(0.02)
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        p = 1 if self.padding_type == "zero" else 0
+        h = x if p else _pad(x, self.padding_type)
+        h = TorchConv(
+            self.dim, 3, padding=p, use_bias=self.use_bias,
+            kernel_init=self.kernel_init, param_dtype=self.param_dtype, name="conv1",
+        )(h)
+        h = Norm(self.norm_type, name="norm1")(h, train)
+        h = nn.relu(h)
+        if self.use_dropout:
+            h = nn.Dropout(0.5, deterministic=not train)(h)
+        h = h if p else _pad(h, self.padding_type)
+        h = TorchConv(
+            self.dim, 3, padding=p, use_bias=self.use_bias,
+            kernel_init=self.kernel_init, param_dtype=self.param_dtype, name="conv2",
+        )(h)
+        h = Norm(self.norm_type, name="norm2")(h, train)
+        return x + h
+
+
+class ResnetGenerator(nn.Module):
+    """c7s1-64, d128, d256, R256×n, u128, u64, c7s1-out, tanh.
+
+    With ``inject=True`` this is the reference's ``ResnetGenerator_inject``:
+    a 256-d location embedding is projected to a 128×128 plane, resized to
+    the feature map, channel-broadcast, and combined add/multiply-style with
+    an optional learnable scale, plus an optional learnable post-correction
+    on the output (``model/generator_inject.py:88-135``).
+    """
+
+    input_nc: int
+    output_nc: int
+    ngf: int = 64
+    norm_type: str = "instance"
+    use_dropout: bool = False
+    n_blocks: int = 9
+    padding_type: str = "reflect"
+    # --- injection variant ---
+    inject: bool = False
+    inject_style: str = "multiply"  # ['add', 'multiply']
+    scaling_param: bool = True
+    scaling_param_init: float = 0.01
+    post_correction: bool = False
+    post_correction_init: float = 1.0
+    embed_dim: int = 256
+    embed_plane: int = 128  # fc output is a 128×128 plane (generator_inject.py:89)
+    # --- numerics ---
+    kernel_init: Callable = inits.normal(0.02)
+    compute_dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, embeds: Optional[jnp.ndarray] = None, train: bool = False):
+        assert self.n_blocks >= 0
+        use_bias = use_bias_for(self.norm_type)
+        kw = dict(kernel_init=self.kernel_init, param_dtype=self.param_dtype)
+        x = x.astype(self.compute_dtype)
+
+        # stem: reflect-pad 3 + 7×7 conv
+        h = _pad(x, "reflect", 3)
+        h = TorchConv(self.ngf, 7, use_bias=use_bias, name="c0", **kw)(h)
+        h = Norm(self.norm_type, name="n0")(h, train)
+        h = nn.relu(h)
+
+        # downsampling ×2
+        h = TorchConv(self.ngf * 2, 3, stride=2, padding=1, use_bias=use_bias, name="d0", **kw)(h)
+        h = Norm(self.norm_type, name="nd0")(h, train)
+
+        if self.inject:
+            h = self._inject(h, embeds)
+
+        h = nn.relu(h)
+        h = TorchConv(self.ngf * 4, 3, stride=2, padding=1, use_bias=use_bias, name="d1", **kw)(h)
+        h = Norm(self.norm_type, name="nd1")(h, train)
+        h = nn.relu(h)
+
+        # residual trunk
+        for i in range(self.n_blocks):
+            h = ResnetBlock(
+                self.ngf * 4,
+                padding_type=self.padding_type,
+                norm_type=self.norm_type,
+                use_dropout=self.use_dropout,
+                use_bias=use_bias,
+                param_dtype=self.param_dtype,
+                kernel_init=self.kernel_init,
+                name=f"r{i}",
+            )(h, train)
+
+        # upsampling ×2
+        h = TorchConvTranspose(self.ngf * 2, 3, use_bias=use_bias, name="u0", **kw)(h)
+        h = Norm(self.norm_type, name="nu0")(h, train)
+        h = nn.relu(h)
+        h = TorchConvTranspose(self.ngf, 3, use_bias=use_bias, name="u1", **kw)(h)
+        h = Norm(self.norm_type, name="nu1")(h, train)
+        h = nn.relu(h)
+
+        # head: reflect-pad 3 + 7×7 conv + tanh (bias always on, networks.py:367)
+        h = _pad(h, "reflect", 3)
+        h = TorchConv(self.output_nc, 7, use_bias=True, name="c1", **kw)(h)
+        h = jnp.tanh(h)
+
+        if self.inject and self.post_correction:
+            pc = self.param(
+                "post_correction_param",
+                lambda k, s: jnp.full(s, self.post_correction_init, self.param_dtype),
+                (),
+            )
+            h = h * pc.astype(h.dtype)
+        return h
+
+    def _inject(self, h, embeds):
+        if embeds is None:
+            raise ValueError("inject-style generator requires a location embedding input")
+        embeds = embeds.astype(self.compute_dtype)
+        plane = TorchDense(self.embed_plane * self.embed_plane, name="fc",
+                           param_dtype=self.param_dtype)(embeds)
+        plane = plane.reshape(-1, self.embed_plane, self.embed_plane, 1)
+        # reference passes size=(W, H) — swapped — to F.interpolate
+        # (generator_inject.py:116); replicated verbatim for parity.
+        plane = resize_bilinear(plane, h.shape[-2], h.shape[-3])
+        plane = jnp.broadcast_to(plane, (*plane.shape[:3], h.shape[-1]))
+
+        if self.scaling_param:
+            scale = self.param(
+                "scale_param",
+                lambda k, s: jnp.full(s, self.scaling_param_init, self.param_dtype),
+                (),
+            ).astype(h.dtype)
+        if self.inject_style == "add":
+            return h + scale * plane
+        if self.inject_style == "multiply" and self.scaling_param:
+            return h * (1.0 + scale * plane)
+        if self.inject_style == "multiply":
+            return h * plane
+        raise NotImplementedError(f"inject style [{self.inject_style}] is not implemented")

@@ -1,0 +1,21 @@
+"""Normalisation ops (NHWC).
+
+The reference uses affine-free, stat-free InstanceNorm everywhere
+(``model/networks.py:30``: ``nn.InstanceNorm2d(affine=False,
+track_running_stats=False)``).  Statistics are computed in float32 even under
+bfloat16 compute — the variance subtraction is catastrophic in bf16 — then the
+normalised result is cast back.  XLA fuses this chain of elementwise +
+reduction ops into the surrounding convs on TPU.
+"""
+
+import jax.numpy as jnp
+
+
+def instance_norm(x, eps: float = 1e-5):
+    """Per-sample, per-channel spatial normalisation (torch defaults: eps=1e-5,
+    biased variance)."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
+    y = (x32 - mean) * jnp.reciprocal(jnp.sqrt(var + eps))
+    return y.astype(x.dtype)

@@ -1,0 +1,151 @@
+"""torch → JAX checkpoint conversion.
+
+The reference publishes Lightning checkpoints (HF hub, ``README.md:104``)
+whose ``state_dict`` keys follow the torch ``nn.Sequential`` index layout of
+``model/networks.py`` (e.g. ``netG.model.10.conv_block.1.weight``).  This
+module maps those onto the named flax trees produced by
+``nirgan_tpu.models`` so published weights can be loaded for parity testing
+and warm starts (reference ``train.py:61-65`` semantics: partial,
+``strict=False``).
+
+Weight layout transforms:
+    conv          OIHW → HWIO   (transpose 2,3,1,0)
+    conv-transp.  IOHW → HWIO   (transpose 2,3,0,1)
+    linear        (out,in) → (in,out)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping
+
+import numpy as np
+
+__all__ = [
+    "load_torch_state_dict",
+    "convert_resnet_generator",
+    "convert_nlayer_discriminator",
+    "convert_pixel_discriminator",
+    "convert_px2px_checkpoint",
+]
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Read a torch/Lightning ckpt into a flat {key: np.ndarray} dict."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+    return {k: np.asarray(v.detach().cpu().numpy()) for k, v in sd.items()
+            if hasattr(v, "detach")}
+
+
+def _conv(sd: Mapping[str, np.ndarray], key: str) -> dict:
+    out = {"kernel": np.transpose(sd[f"{key}.weight"], (2, 3, 1, 0))}
+    if f"{key}.bias" in sd:
+        out["bias"] = sd[f"{key}.bias"]
+    return out
+
+
+def _convT(sd: Mapping[str, np.ndarray], key: str) -> dict:
+    out = {"kernel": np.transpose(sd[f"{key}.weight"], (2, 3, 0, 1))}
+    if f"{key}.bias" in sd:
+        out["bias"] = sd[f"{key}.bias"]
+    return out
+
+
+def _dense(sd: Mapping[str, np.ndarray], key: str) -> dict:
+    out = {"kernel": np.transpose(sd[f"{key}.weight"], (1, 0))}
+    if f"{key}.bias" in sd:
+        out["bias"] = sd[f"{key}.bias"]
+    return out
+
+
+def convert_resnet_generator(
+    sd: Mapping[str, np.ndarray],
+    prefix: str = "",
+    n_blocks: int = 9,
+    use_dropout: bool = False,
+) -> dict:
+    """Map a torch ``ResnetGenerator``/``ResnetGenerator_inject`` state_dict
+    (Sequential layout at ``model/networks.py:341-370``) to flax params.
+
+    Torch index plan (instance norm ⇒ parameter-free norm layers):
+      1 stem conv7 · 4,7 downsample convs · 10..10+n-1 resnet blocks
+      (convs at conv_block.1 and conv_block.{5|6 with dropout}) ·
+      19,22 up conv-transposes · 26 head conv7 (indices shift by n_blocks-9).
+    """
+    p = prefix
+    blk0 = 10
+    up0 = blk0 + n_blocks
+    conv2_idx = 6 if use_dropout else 5
+    params = {
+        "c0": _conv(sd, f"{p}model.1"),
+        "d0": _conv(sd, f"{p}model.4"),
+        "d1": _conv(sd, f"{p}model.7"),
+        "u0": _convT(sd, f"{p}model.{up0}"),
+        "u1": _convT(sd, f"{p}model.{up0 + 3}"),
+        "c1": _conv(sd, f"{p}model.{up0 + 7}"),
+    }
+    for i in range(n_blocks):
+        params[f"r{i}"] = {
+            "conv1": _conv(sd, f"{p}model.{blk0 + i}.conv_block.1"),
+            "conv2": _conv(sd, f"{p}model.{blk0 + i}.conv_block.{conv2_idx}"),
+        }
+    # injection-variant extras (model/generator_inject.py:88-100)
+    if f"{p}fc.weight" in sd:
+        params["fc"] = _dense(sd, f"{p}fc")
+    if f"{p}scale_param" in sd:
+        params["scale_param"] = sd[f"{p}scale_param"]
+    if f"{p}post_correction_param" in sd:
+        params["post_correction_param"] = sd[f"{p}post_correction_param"]
+    return params
+
+
+def convert_nlayer_discriminator(
+    sd: Mapping[str, np.ndarray], prefix: str = "", n_layers: int = 3
+) -> dict:
+    """Map a torch ``NLayerDiscriminator`` state_dict
+    (``model/networks.py:557-580``)."""
+    p = prefix
+    params = {"conv0": _conv(sd, f"{p}model.0")}
+    for n in range(1, n_layers + 1):
+        params[f"conv{n}"] = _conv(sd, f"{p}model.{2 + 3 * (n - 1)}")
+    params[f"conv{n_layers + 1}"] = _conv(sd, f"{p}model.{2 + 3 * n_layers}")
+    return params
+
+
+def convert_pixel_discriminator(sd: Mapping[str, np.ndarray], prefix: str = "") -> dict:
+    """Map a torch ``PixelDiscriminator`` state_dict (``model/networks.py:604-612``)."""
+    p = prefix
+    return {
+        "conv0": _conv(sd, f"{p}net.0"),
+        "conv1": _conv(sd, f"{p}net.2"),
+        "conv2": _conv(sd, f"{p}net.5"),
+    }
+
+
+def convert_px2px_checkpoint(path_or_sd, config) -> dict:
+    """Convert a full ``Px2Px_PL`` Lightning ckpt (netG.* + netD.* keys) into
+    ``{"params_g": ..., "params_d": ...}`` given the experiment config.
+
+    Mirrors the reference's weights-only warm start (``train.py:61-65``);
+    missing towers are simply absent from the result (strict=False).
+    """
+    sd = load_torch_state_dict(path_or_sd) if isinstance(path_or_sd, str) else path_or_sd
+    bc = config.base_configs
+    out = {}
+    if any(k.startswith("netG.") for k in sd):
+        out["params_g"] = convert_resnet_generator(
+            sd,
+            prefix="netG.",
+            n_blocks=9 if bc.netG == "resnet_9blocks" else 6,
+            use_dropout=not bc.no_dropout,
+        )
+    if any(k.startswith("netD.") for k in sd):
+        if bc.netD == "pixel":
+            out["params_d"] = convert_pixel_discriminator(sd, prefix="netD.")
+        else:
+            out["params_d"] = convert_nlayer_discriminator(
+                sd, prefix="netD.", n_layers=3 if bc.netD == "basic" else bc.n_layers_D
+            )
+    return out
