@@ -1,0 +1,114 @@
+"""Headline benchmark: 512² RGB→NIR inference throughput (tiles/sec/chip).
+
+Measures the plain resnet_9blocks generator (the reference's serving model,
+``create_synthetic_dataset.py:100-118``) in bfloat16 NHWC with the shipped
+reflect-pad-10 inference path, on whatever accelerator JAX_PLATFORMS points
+at (the driver runs this on the real TPU chip).
+
+Timing method: N independent jitted invocations are dispatched with rotating
+inputs, their scalar checksums chained through an accumulator, and a single
+host pull at the end bounds the wall clock.  (Per-iteration host pulls — and
+``block_until_ready`` — measure tunnel RTT on the axon transport, not
+compute.)
+
+``vs_baseline``: ratio against the torch reference generator's throughput on
+this host's CPU (the only hardware both stacks can run on here; the
+reference publishes no numbers — BASELINE.md).  Measured once via the
+read-only reference checkout and cached in benchmarks/baseline_torch_cpu.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BATCH = 8
+SIZE = 512
+ITERS = 30
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "benchmarks", "baseline_torch_cpu.json")
+
+
+def measure_jax() -> float:
+    import jax
+    import jax.numpy as jnp
+    from nirgan_tpu.config import load_config
+    from nirgan_tpu.tasks import Px2PxTask
+
+    cfg = load_config(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "configs", "config_px2px.yaml"))
+    task = Px2PxTask(cfg)  # bf16 compute, f32 params
+    state = task.init_state(seed=0, image_size=SIZE)
+    params = state.params_g
+
+    @jax.jit
+    def fn(p, x, acc):
+        pred = task.g_apply(p, x, train=False)
+        return acc + jnp.sum(pred.astype(jnp.float32))
+
+    rng = np.random.default_rng(0)
+    xs = [jnp.asarray(rng.random((BATCH, SIZE, SIZE, 3), dtype=np.float32))
+          for _ in range(4)]
+    acc = jnp.zeros((), jnp.float32)
+    acc = fn(params, xs[0], acc)
+    float(acc)  # warm-up + compile barrier
+
+    acc = jnp.zeros((), jnp.float32)
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        acc = fn(params, xs[i % len(xs)], acc)
+    checksum = float(acc)  # single sync
+    dt = time.perf_counter() - t0
+    assert np.isfinite(checksum)
+    return BATCH * ITERS / dt
+
+
+def measure_torch_cpu_baseline() -> float:
+    """Torch reference generator on host CPU (cached)."""
+    if os.path.exists(CACHE):
+        with open(CACHE) as f:
+            return json.load(f)["tiles_per_sec"]
+    ref_path = "/root/reference/model/networks.py"
+    if not os.path.exists(ref_path):
+        return float("nan")
+    import importlib.util
+    import torch
+
+    spec = importlib.util.spec_from_file_location("ref_networks_bench", ref_path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    norm_layer = mod.get_norm_layer("instance")
+    net = mod.ResnetGenerator(3, 1, 64, norm_layer=norm_layer,
+                              use_dropout=False, n_blocks=9).eval()
+    x = torch.rand(1, 3, SIZE + 20, SIZE + 20)  # reflect-pad-10 parity
+    with torch.no_grad():
+        net(x)  # warm-up
+        n = 3
+        t0 = time.perf_counter()
+        for _ in range(n):
+            net(x)
+        dt = time.perf_counter() - t0
+    tps = n / dt
+    os.makedirs(os.path.dirname(CACHE), exist_ok=True)
+    with open(CACHE, "w") as f:
+        json.dump({"tiles_per_sec": tps, "hardware": "host CPU",
+                   "model": "reference ResnetGenerator 9 blocks, 512²+20 pad"}, f)
+    return tps
+
+
+def main():
+    tps = measure_jax()
+    base = measure_torch_cpu_baseline()
+    vs = tps / base if np.isfinite(base) and base > 0 else 0.0
+    print(json.dumps({
+        "metric": "512x512 RGB->NIR inference throughput (bf16, reflect-pad-10)",
+        "value": round(tps, 2),
+        "unit": "tiles/sec/chip",
+        "vs_baseline": round(vs, 2),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,59 @@
+"""SatCLIP wrapper: the user-facing "coords → 256-d embedding" handle
+(reference ``SatClIP_wrapper`` at ``model/satclip/satclip_wrapper.py:7-38``
+and ``get_satclip`` at ``load.py:3-17``).
+
+Loads a torch Lightning SatCLIP checkpoint when available (reading its
+``hyper_parameters`` for architecture, as the reference loader does) and
+falls back to a reference-architecture random initialisation otherwise —
+the checkpoint itself is a missing large blob in the public snapshot
+(SURVEY.md §0.1).
+"""
+
+from __future__ import annotations
+
+import os
+import warnings
+
+import numpy as np
+
+from nirgan_tpu.models.satclip.location_encoder import LocationEncoder
+
+__all__ = ["SatClipWrapper"]
+
+
+class SatClipWrapper:
+    def __init__(self, satclip_path: str | None = None, seed: int = 0):
+        self.loaded_from = None
+        if satclip_path and os.path.exists(satclip_path):
+            from nirgan_tpu.train.torch_convert import load_torch_state_dict
+            import torch
+
+            ckpt = torch.load(satclip_path, map_location="cpu", weights_only=False)
+            hp = ckpt.get("hyper_parameters", {})
+            sd = {k: np.asarray(v.cpu().numpy())
+                  for k, v in ckpt.get("state_dict", {}).items()}
+            self.encoder = LocationEncoder.from_torch_state_dict(
+                sd,
+                convention="analytic"
+                if hp.get("harmonics_calculation", "analytic") == "analytic"
+                else "closed-form",
+            )
+            self.loaded_from = satclip_path
+        else:
+            if satclip_path:
+                warnings.warn(
+                    f"SatCLIP checkpoint not found at {satclip_path!r}; "
+                    "using a randomly-initialised reference-architecture "
+                    "location encoder (embeddings will not match published "
+                    "checkpoints)."
+                )
+            self.encoder = LocationEncoder.create(seed=seed)
+
+    def predict(self, coords) -> np.ndarray:
+        """(B, 2) lon/lat → (B, embed_dim) float32.  Float64 compute on host,
+        mirroring the reference's ``.double()`` path (satclip_wrapper.py:31)."""
+        return self.encoder.encode(np.asarray(coords))
+
+    @property
+    def embed_dim(self) -> int:
+        return self.encoder.embed_dim

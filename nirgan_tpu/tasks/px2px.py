@@ -1,0 +1,374 @@
+"""The conditional-GAN task: TPU-native counterpart of the reference's
+``Px2Px_PL`` LightningModule (``model/pix2pix.py:17-492``).
+
+Key re-design vs the reference (SURVEY.md §2.9, §7.1):
+
+  * One **fused train step**.  PL 1.9 alternating optimizers run the
+    generator forward twice per batch (once per ``optimizer_idx``,
+    ``model/pix2pix.py:165-257``).  Here a single ``jax.vjp`` forward is
+    shared: the discriminator updates on ``stop_gradient(pred)`` first
+    (optimizer order [D, G], ``model/pix2pix.py:490``), then the generator's
+    cotangent flows through the *updated* discriminator and back through the
+    saved vjp — mathematically identical (dropout is off and norms are
+    stateless) with ~35% of the per-step FLOPs removed.
+  * Everything (both losses, both Adam updates, all metric scalars) compiles
+    into one XLA program; only scalars cross to the host.
+  * Data parallelism is a jit sharding annotation, not a framework
+    (``parallel/mesh.py``); metric means over the global batch reproduce
+    ``sync_dist=True``.
+  * The frozen SatCLIP tower runs float64 on host (reference runs it under
+    ``no_grad`` in float64, ``satclip_wrapper.py:29-34``); embeddings enter
+    the step as array inputs.
+
+Loss algebra parity (``model/pix2pix.py:195-257``):
+  D:  lsgan(fake, 0) + lsgan(real, 1)        (no ×0.5 — the PL port dropped
+                                              the legacy halving, SURVEY §2)
+  G:  λ_GAN·lsgan(fake, 1) + λ_L1·L1 [+ λ_ssim·SSIM + λ_hist·EMD + λ_rs·RS]
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nirgan_tpu.config import ConfigNode, tpu_section
+from nirgan_tpu.losses import (
+    RemoteSensingIndices,
+    calculate_metrics,
+    emd_loss,
+    gan_loss,
+    l1_loss,
+    ssim_loss,
+)
+from nirgan_tpu.models import define_D, define_G, define_G_inject
+from nirgan_tpu.models.layers import dtype_of
+from nirgan_tpu.ops.pad import reflect_pad2d
+from nirgan_tpu.ops.resize import resize_bicubic
+from nirgan_tpu.parallel import batch_sharding, replicated_sharding
+from nirgan_tpu.train.state import TrainState, adam_for, create_state
+
+__all__ = ["Px2PxTask"]
+
+
+def nchw_to_nhwc(x):
+    return jnp.transpose(jnp.asarray(x), (0, 2, 3, 1))
+
+
+def nhwc_to_nchw(x):
+    return jnp.transpose(x, (0, 3, 1, 2))
+
+
+class Px2PxTask:
+    def __init__(self, config: ConfigNode):
+        self.config = config
+        self.opt = config.base_configs
+        tpu = tpu_section(config)
+        self.compute_dtype = dtype_of(tpu.compute_dtype)
+        self.param_dtype = dtype_of(tpu.param_dtype)
+        self.shape_buckets = sorted(int(b) for b in tpu.shape_buckets)
+
+        sc = config.get("satclip", ConfigNode({"use_satclip": False}))
+        self.satclip = bool(sc.get("use_satclip", False))
+        self.satclip_style = sc.get("satclip_style", None) if self.satclip else None
+
+        # --- generator selection (reference model/pix2pix.py:27-53)
+        kw = dict(compute_dtype=self.compute_dtype, param_dtype=self.param_dtype)
+        if self.satclip and self.satclip_style == "concat":
+            self.netG = define_G(
+                self.opt.input_nc + 1, self.opt.output_nc, self.opt.ngf, self.opt.netG,
+                self.opt.norm, not self.opt.no_dropout, self.opt.init_type,
+                self.opt.init_gain, **kw)
+        elif self.satclip and self.satclip_style == "inject":
+            self.netG = define_G_inject(config, **kw)
+        elif self.satclip:
+            raise NotImplementedError("SatClip Style not recognized, choose 'concat' or 'inject'")
+        else:
+            self.netG = define_G(
+                self.opt.input_nc, self.opt.output_nc, self.opt.ngf, self.opt.netG,
+                self.opt.norm, not self.opt.no_dropout, self.opt.init_type,
+                self.opt.init_gain, **kw)
+
+        # --- discriminator (reference model/pix2pix.py:57-58).  Note: we size
+        # it from its true input (G-input channels + output), where the
+        # reference hard-codes input_nc+output_nc — which breaks its own
+        # concat style (the 4-channel conditioning + 1-channel pred is 5
+        # channels into a 4-channel D).
+        d_in = self.opt.input_nc + self.opt.output_nc + (
+            1 if self.satclip and self.satclip_style == "concat" else 0)
+        self.netD = define_D(d_in, self.opt.ndf, self.opt.netD, self.opt.n_layers_D,
+                             self.opt.norm, self.opt.init_type, self.opt.init_gain, **kw)
+
+        # --- losses
+        self.gan_mode = self.opt.gan_mode
+        self.lambda_gan = float(self.opt.lambda_GAN)
+        self.lambda_l1 = float(self.opt.lambda_L1)
+        self.lambda_ssim = float(self.opt.get("lambda_ssim", 0.0))
+        self.lambda_hist = float(self.opt.get("lambda_hist", 0.0))
+        self.lambda_rs = float(self.opt.get("lambda_rs_losses", 0.0))
+        self.rs_losses = (
+            RemoteSensingIndices(mode="loss", criterion=self.opt.rs_losses_criterium)
+            if self.lambda_rs > 0.0 else None)
+        self.rs_weights = (dict(self.opt.internal_rs_loss_weights)
+                           if "internal_rs_loss_weights" in self.opt else None)
+
+        # --- padding (reference model/pix2pix.py:91-108)
+        self.use_padding = bool(config.Data.padding)
+        self.pad_amount = int(config.Data.padding_amount) if self.use_padding else 0
+
+        # --- frozen SatCLIP tower (host-side)
+        self.satclip_model = None
+        if self.satclip:
+            from nirgan_tpu.models.satclip import SatClipWrapper
+
+            self.satclip_model = SatClipWrapper(sc.get("satclip_path", None))
+        self.satclip_scaling_factor = float(sc.get("scaling_factor", 1.0)) if self.satclip else 1.0
+
+    # ------------------------------------------------------------- applies
+    def g_apply(self, params, rgb, embeds=None, train: bool = False):
+        """Reflect-pad → generator → crop (reference forward,
+        ``model/pix2pix.py:88-110``)."""
+        x = rgb
+        p = self.pad_amount
+        if self.use_padding:
+            x = reflect_pad2d(x, p)
+        if self.satclip and self.satclip_style == "inject":
+            pred = self.netG.apply({"params": params}, x, embeds, train=train)
+        else:
+            pred = self.netG.apply({"params": params}, x, train=train)
+        if self.use_padding:
+            pred = pred[:, p:-p, p:-p, :]
+        return pred
+
+    def d_apply(self, params, x, train: bool = False):
+        return self.netD.apply({"params": params}, x, train=train)
+
+    # --------------------------------------------------------------- init
+    def init_state(self, seed: int = 0, image_size: int = 64) -> TrainState:
+        k = jax.random.key(seed)
+        kg, kd, kr = jax.random.split(k, 3)
+        g_in = self.opt.input_nc + (1 if self.satclip and self.satclip_style == "concat" else 0)
+        x = jnp.zeros((1, image_size + 2 * self.pad_amount,
+                       image_size + 2 * self.pad_amount, g_in))
+        if self.satclip and self.satclip_style == "inject":
+            params_g = self.netG.init(kg, x, jnp.zeros((1, self.satclip_model.embed_dim)))["params"]
+        else:
+            params_g = self.netG.init(kg, x)["params"]
+        d_in = g_in + self.opt.output_nc
+        params_d = self.netD.init(kd, jnp.zeros((1, image_size, image_size, d_in)))["params"]
+        return create_state(kr, params_g, params_d, lr=float(self.opt.lr),
+                            beta1=float(self.opt.beta1))
+
+    # --------------------------------------------------------- train step
+    def make_train_step(self, mesh=None):
+        """Build the fused, jitted (state, batch) → (state, metrics) step.
+
+        ``batch``: {"rgb": (B,H,W,Cg) f32, "nir": (B,H,W,1) f32
+                    [, "embeds": (B,E) f32]} — already NHWC (see
+        ``extract_batch``).  With a mesh, the batch is sharded on ``data``
+        and state replicated; XLA inserts the gradient all-reduce.
+        """
+        tx_g = adam_for(self.netG, beta1=float(self.opt.beta1))
+        tx_d = adam_for(self.netD, beta1=float(self.opt.beta1))
+        inject = self.satclip and self.satclip_style == "inject"
+
+        def step(state: TrainState, batch):
+            rgb = batch["rgb"].astype(self.compute_dtype)
+            nir = batch["nir"]
+            embeds = batch.get("embeds") if inject else None
+
+            # --- single shared generator forward
+            pred, g_vjp = jax.vjp(
+                lambda pg: self.g_apply(pg, rgb, embeds, train=True), state.params_g)
+            pred_sg = jax.lax.stop_gradient(pred)
+
+            # --- discriminator update (optimizer_idx 0; pix2pix.py:195-212)
+            def d_loss_fn(params_d):
+                fake_ab = jnp.concatenate([rgb, pred_sg], axis=-1)
+                real_ab = jnp.concatenate([rgb, nir.astype(rgb.dtype)], axis=-1)
+                logits_fake = self.d_apply(params_d, fake_ab, train=True)
+                logits_real = self.d_apply(params_d, real_ab, train=True)
+                loss_d_fake = gan_loss(logits_fake, False, self.gan_mode)
+                loss_d_real = gan_loss(logits_real, True, self.gan_mode)
+                loss_d = loss_d_fake + loss_d_real  # no ×0.5 (pix2pix.py:206)
+                aux = {
+                    "model_loss/discriminator_predFake": jnp.mean(logits_fake.astype(jnp.float32)),
+                    "model_loss/discriminator_predReal": jnp.mean(logits_real.astype(jnp.float32)),
+                    "model_loss/discriminator_fake": loss_d_fake,
+                    "model_loss/discriminator_real": loss_d_real,
+                    "model_loss/discriminator_loss": loss_d,
+                }
+                return loss_d, aux
+
+            (_, d_metrics), grads_d = jax.value_and_grad(d_loss_fn, has_aux=True)(
+                state.params_d)
+            upd_d, opt_d = tx_d.update(grads_d, state.opt_d, state.params_d)
+            upd_d = jax.tree.map(lambda u: u * state.lr_d, upd_d)
+            params_d = jax.tree.map(lambda p, u: p + u, state.params_d, upd_d)
+
+            # --- generator update through the *updated* D (optimizer_idx 1;
+            #     PL steps D first, so G's loss sees the new D)
+            def g_loss_on_pred(pred_):
+                fake_ab = jnp.concatenate([rgb, pred_], axis=-1)
+                logits_fake = self.d_apply(params_d, fake_ab, train=True)
+                loss_g_gan = gan_loss(logits_fake, True, self.gan_mode)
+                loss_g_l1 = l1_loss(pred_, nir)
+                loss_g = loss_g_gan * self.lambda_gan + loss_g_l1 * self.lambda_l1
+                aux = {
+                    "model_loss/generator_GAN_loss": loss_g_gan,
+                    "model_loss/generator_L1": loss_g_l1,
+                }
+                if self.lambda_ssim > 0.0:
+                    s = ssim_loss(pred_, nir)
+                    aux["model_loss/generator_ssim"] = s
+                    loss_g = loss_g + s * self.lambda_ssim
+                if self.lambda_hist > 0.0:
+                    h = emd_loss(pred_, nir)
+                    aux["model_loss/generator_hist"] = h
+                    loss_g = loss_g + h * self.lambda_hist
+                if self.lambda_rs > 0.0:
+                    rgb3 = rgb[..., : self.opt.input_nc]
+                    r = self.rs_losses.get_and_weight_losses(
+                        rgb3, nir, pred_, loss_config=self.rs_weights)
+                    aux["model_loss/indices_loss_weighted"] = r
+                    loss_g = loss_g + r * self.lambda_rs
+                aux["model_loss/generator_total_loss"] = loss_g
+                return loss_g, aux
+
+            (_, g_metrics), dpred = jax.value_and_grad(g_loss_on_pred, has_aux=True)(pred)
+            (grads_g,) = g_vjp(dpred.astype(pred.dtype))
+            upd_g, opt_g = tx_g.update(grads_g, state.opt_g, state.params_g)
+            upd_g = jax.tree.map(lambda u: u * state.lr_g, upd_g)
+            params_g = jax.tree.map(lambda p, u: p + u, state.params_g, upd_g)
+
+            metrics = {**d_metrics, **g_metrics,
+                       **calculate_metrics(pred_sg, nir, phase="train")}
+            # learnable conditioning scalars (reference logs them, pix2pix.py:188-192)
+            if inject and "scale_param" in params_g:
+                metrics["scale_param"] = params_g["scale_param"]
+            if inject and "post_correction_param" in params_g:
+                metrics["post_correction_param"] = params_g["post_correction_param"]
+            metrics = {k: v.astype(jnp.float32) for k, v in metrics.items()}
+
+            new_state = state.replace(step=state.step + 1, params_g=params_g,
+                                      params_d=params_d, opt_g=opt_g, opt_d=opt_d)
+            return new_state, metrics
+
+        if mesh is None:
+            return jax.jit(step, donate_argnums=(0,))
+        repl = replicated_sharding(mesh)
+        data = batch_sharding(mesh)
+        return jax.jit(
+            step,
+            in_shardings=(repl, data),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,),
+        )
+
+    # ---------------------------------------------------------- eval step
+    def make_eval_step(self, mesh=None):
+        inject = self.satclip and self.satclip_style == "inject"
+
+        def step(params_g, batch):
+            rgb = batch["rgb"].astype(self.compute_dtype)
+            embeds = batch.get("embeds") if inject else None
+            pred = self.g_apply(params_g, rgb, embeds, train=False)
+            metrics = calculate_metrics(pred, batch["nir"], phase="val")
+            return pred.astype(jnp.float32), metrics
+
+        if mesh is None:
+            return jax.jit(step)
+        repl = replicated_sharding(mesh)
+        data = batch_sharding(mesh)
+        return jax.jit(step, in_shardings=(repl, data), out_shardings=(data, repl))
+
+    # ------------------------------------------------------- host-side API
+    def extract_batch(self, batch):
+        """Reference data contract in, NHWC step-batch out
+        (``model/pix2pix.py:426-463``): handles the three SatCLIP routes.
+
+        ``batch``: {"rgb": (B,3,H,W), "nir": (B,1,H,W) [, "coords": (B,2)]}
+        (numpy or jnp, NCHW — the universal contract of SURVEY.md §0.1).
+        """
+        rgb = nchw_to_nhwc(np.asarray(batch["rgb"], np.float32))
+        nir = nchw_to_nhwc(np.asarray(batch["nir"], np.float32))
+        if not self.satclip:
+            return {"rgb": rgb, "nir": nir}
+        coords = np.asarray(batch["coords"], np.float32)
+        embeds = self.satclip_model.predict(coords)
+        if self.satclip_style == "concat":
+            return {"rgb": self._concat_embedding_plane(rgb, embeds), "nir": nir}
+        if self.satclip_style == "inject":
+            return {"rgb": rgb, "nir": nir, "embeds": jnp.asarray(embeds)}
+        raise NotImplementedError("SatClip Style not recognized, choose 'concat' or 'inject'")
+
+    def _concat_embedding_plane(self, rgb, embeds):
+        """Embedding → image plane → 4th channel (reference
+        ``satclip_get_concat``, ``model/pix2pix.py:466-476``): the 256-d
+        vector is laid out along width, tiled over height, bicubically
+        resized to (W, H) — the reference's swapped-size call — and scaled."""
+        b, h, w, _ = rgb.shape
+        e = embeds.shape[-1]
+        plane = jnp.broadcast_to(jnp.asarray(embeds).reshape(b, 1, e, 1), (b, e, e, 1))
+        plane = resize_bicubic(plane, w, h)
+        plane = plane * self.satclip_scaling_factor
+        return jnp.concatenate([rgb, plane.astype(rgb.dtype)], axis=-1)
+
+    @functools.lru_cache(maxsize=8)
+    def _predict_fn(self, H: int, W: int):
+        inject = self.satclip and self.satclip_style == "inject"
+
+        def fn(params_g, rgb, embeds):
+            pred = self.g_apply(params_g, rgb.astype(self.compute_dtype),
+                                embeds if inject else None, train=False)
+            return pred.astype(jnp.float32)
+
+        return jax.jit(fn)
+
+    def bucket_for(self, h: int, w: int) -> int:
+        """Smallest static bucket covering (h, w); grows in bucket-sized
+        steps beyond the largest configured bucket."""
+        m = max(h, w)
+        for b in self.shape_buckets:
+            if m <= b:
+                return b
+        top = self.shape_buckets[-1]
+        return ((m + top - 1) // top) * top
+
+    def predict_step(self, rgb, coords: Optional[np.ndarray] = None) -> np.ndarray:
+        """Public inference API (reference ``predict_step``,
+        ``model/pix2pix.py:133-163``): (B,3,H,W) RGB [+ (B,2) coords] →
+        (B,1,H,W) NIR.  Arbitrary sizes are padded (reflect) to a static
+        bucket for XLA, then cropped back."""
+        rgb = np.asarray(rgb, np.float32)
+        b, c, h, w = rgb.shape
+        batch = {"rgb": rgb, "nir": np.zeros((b, 1, h, w), np.float32)}
+        if self.satclip:
+            if coords is None:
+                raise ValueError("SatCLIP model requires coords (B, 2) for prediction")
+            batch["coords"] = coords
+        ex = self.extract_batch(batch)
+        x = ex["rgb"]
+        size = self.bucket_for(h, w)
+        if (h, w) != (size, size):
+            x = jnp.pad(x, ((0, 0), (0, size - h), (0, size - w), (0, 0)), mode="reflect")
+        pred = self._predict_fn(size, size)(
+            self._params_g, x, ex.get("embeds"))
+        return np.asarray(nhwc_to_nchw(pred[:, :h, :w, :]))
+
+    def bind(self, state_or_params) -> "Px2PxTask":
+        """Attach current generator params for the host predict API."""
+        self._params_g = getattr(state_or_params, "params_g", state_or_params)
+        return self
+
+    # ------------------------------------------------------------ weights
+    def load_torch_weights(self, path: str):
+        """Weights-only warm start from a reference Lightning ckpt
+        (``train.py:61-65``, strict=False semantics): returns
+        {"params_g": ..., "params_d": ...} with whatever towers the ckpt has."""
+        from nirgan_tpu.train.torch_convert import convert_px2px_checkpoint
+
+        return convert_px2px_checkpoint(path, self.config)
