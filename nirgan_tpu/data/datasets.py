@@ -1,0 +1,279 @@
+"""Dataset layer.
+
+The reference's entire ``data/`` package is gitignored upstream (SURVEY.md
+§0.1); these classes are re-specified from the observable contract: every
+item is ``{"rgb": (3,H,W) float32, "nir": (1,H,W) float32
+[, "coords": (2,) lon/lat degrees]}`` with reflectance = uint16 DN / 10000
+(``README.md:108-110``, ``data/SR_dataset_RGB.py:30``).
+
+Map-style datasets (``__len__`` / ``__getitem__``) feed the threaded host
+loader in ``pipeline.py``.  File-backed datasets read 4-band rasters
+(R,G,B,NIR): ``.npy``/``.npz`` natively, GeoTIFF via rasterio or tifffile
+when available (gated — neither ships in this image).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+__all__ = [
+    "FakeDataset",
+    "ArrayDataset",
+    "NpzFolderDataset",
+    "GeoTiffFolderDataset",
+    "MixedDataset",
+    "SRPairedDataset",
+    "center_crop_chw",
+]
+
+
+def center_crop_chw(img: np.ndarray, size: int) -> np.ndarray:
+    c, h, w = img.shape
+    if h == size and w == size:
+        return img
+    y = max((h - size) // 2, 0)
+    x = max((w - size) // 2, 0)
+    return img[:, y:y + size, x:x + size]
+
+
+class FakeDataset:
+    """Procedural in-memory dataset implementing the batch-dict contract —
+    the train-without-rasters path the survey's test plan calls for
+    (SURVEY.md §4c).  NIR is a deterministic nonlinear function of RGB plus
+    structured noise, so models have real signal to fit."""
+
+    def __init__(self, image_size: int = 256, length: int = 64,
+                 return_coords: bool = False, seed: int = 0):
+        self.image_size = int(image_size)
+        self.length = int(length)
+        self.return_coords = bool(return_coords)
+        self.seed = seed
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, idx: int) -> dict:
+        rng = np.random.default_rng(self.seed * 1_000_003 + idx)
+        s = self.image_size
+        # smooth random fields: low-res noise upsampled by FFT-free kron
+        base = rng.random((3, s // 8, s // 8)).astype(np.float32)
+        rgb = np.kron(base, np.ones((1, 8, 8), np.float32))
+        rgb += 0.05 * rng.random((3, s, s)).astype(np.float32)
+        rgb = np.clip(rgb / rgb.max(), 0.0, 1.0)
+        # vegetation-like response: high where green dominates red
+        nir = np.clip(0.55 * rgb[1:2] - 0.25 * rgb[0:1] + 0.35 * rgb[2:3] + 0.15, 0, 1)
+        item = {"rgb": rgb, "nir": nir.astype(np.float32)}
+        if self.return_coords:
+            item["coords"] = np.asarray(
+                [rng.uniform(-180, 180), rng.uniform(-90, 90)], np.float32)
+        return item
+
+
+class ArrayDataset:
+    """Wrap pre-loaded arrays: rgb (N,3,H,W), nir (N,1,H,W), coords (N,2)?"""
+
+    def __init__(self, rgb, nir, coords=None):
+        self.rgb = np.asarray(rgb, np.float32)
+        self.nir = np.asarray(nir, np.float32)
+        self.coords = None if coords is None else np.asarray(coords, np.float32)
+
+    def __len__(self):
+        return len(self.rgb)
+
+    def __getitem__(self, idx):
+        item = {"rgb": self.rgb[idx], "nir": self.nir[idx]}
+        if self.coords is not None:
+            item["coords"] = self.coords[idx]
+        return item
+
+
+class NpzFolderDataset:
+    """Folder of ``.npz``/``.npy`` tiles.
+
+    ``.npz`` keys: ``rgb`` (3,H,W) + ``nir`` (1|H,W) [+ ``coords`` (2,)], or a
+    single 4-band ``image`` / bare ``.npy`` array (4,H,W) RGBN.  Values may be
+    uint16 DN (scaled by /10000, the S2 convention) or float reflectance.
+    """
+
+    def __init__(self, base_path: str, image_size: int = 256,
+                 return_coords: bool = False, dn_scale: float = 10000.0):
+        self.base_path = base_path
+        self.image_size = int(image_size)
+        self.return_coords = bool(return_coords)
+        self.dn_scale = dn_scale
+        self.files: List[str] = sorted(
+            os.path.join(base_path, f) for f in os.listdir(base_path)
+            if f.endswith((".npz", ".npy")))
+        if not self.files:
+            raise FileNotFoundError(f"no .npz/.npy tiles under {base_path!r}")
+
+    def __len__(self):
+        return len(self.files)
+
+    @staticmethod
+    def _to_reflectance(a: np.ndarray, dn_scale: float) -> np.ndarray:
+        a = np.asarray(a)
+        if a.dtype.kind in "ui":
+            return a.astype(np.float32) / dn_scale
+        return a.astype(np.float32)
+
+    def __getitem__(self, idx):
+        path = self.files[idx]
+        coords = None
+        if path.endswith(".npy"):
+            img = self._to_reflectance(np.load(path), self.dn_scale)
+            rgb, nir = img[:3], img[3:4]
+        else:
+            z = np.load(path)
+            if "rgb" in z:
+                rgb = self._to_reflectance(z["rgb"], self.dn_scale)
+                nir = self._to_reflectance(z["nir"], self.dn_scale)
+                if nir.ndim == 2:
+                    nir = nir[None]
+            else:
+                img = self._to_reflectance(z[list(z.files)[0]], self.dn_scale)
+                rgb, nir = img[:3], img[3:4]
+            if "coords" in z:
+                coords = np.asarray(z["coords"], np.float32)
+        item = {"rgb": center_crop_chw(rgb, self.image_size),
+                "nir": center_crop_chw(nir, self.image_size)}
+        if self.return_coords:
+            item["coords"] = coords if coords is not None else np.zeros(2, np.float32)
+        return item
+
+
+class GeoTiffFolderDataset:
+    """Folder of 4-band GeoTIFFs (R,G,B,NIR uint16 DN).  Serves the
+    S2_75k / S2_100k / L8_15k / SEN2NAIP / worldstrat settings blocks
+    (config keys at ``configs/config_px2px_SatCLIP.yaml:117-150``).  Needs
+    rasterio (coords from the raster CRS) or tifffile (no coords); raises a
+    clear error if neither is importable."""
+
+    def __init__(self, base_path: str, image_size: int = 256,
+                 return_coords: bool = False, dn_scale: float = 10000.0):
+        self.base_path = base_path
+        self.image_size = int(image_size)
+        self.return_coords = bool(return_coords)
+        self.dn_scale = dn_scale
+        self.files = sorted(
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(base_path) for f in fs
+            if f.lower().endswith((".tif", ".tiff")))
+        if not self.files:
+            raise FileNotFoundError(f"no GeoTIFFs under {base_path!r}")
+        self._backend = None
+        try:
+            import rasterio  # noqa: F401
+
+            self._backend = "rasterio"
+        except ImportError:
+            try:
+                import tifffile  # noqa: F401
+
+                self._backend = "tifffile"
+            except ImportError:
+                raise ImportError(
+                    "GeoTiffFolderDataset needs rasterio or tifffile; neither "
+                    "is installed. Convert tiles to .npz (see NpzFolderDataset) "
+                    "or install a reader.")
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, idx):
+        path = self.files[idx]
+        coords = np.zeros(2, np.float32)
+        if self._backend == "rasterio":
+            import rasterio
+            from rasterio.warp import transform as rio_transform
+
+            with rasterio.open(path) as src:
+                img = src.read().astype(np.float32) / self.dn_scale
+                cx, cy = src.xy(src.height // 2, src.width // 2)
+                try:
+                    lon, lat = rio_transform(src.crs, "EPSG:4326", [cx], [cy])
+                    coords = np.asarray([lon[0], lat[0]], np.float32)
+                except Exception:
+                    pass
+        else:
+            import tifffile
+
+            img = tifffile.imread(path)
+            if img.ndim == 3 and img.shape[-1] <= 8:  # HWC → CHW
+                img = np.transpose(img, (2, 0, 1))
+            img = img.astype(np.float32) / self.dn_scale
+        item = {"rgb": center_crop_chw(img[:3], self.image_size),
+                "nir": center_crop_chw(img[3:4], self.image_size)}
+        if self.return_coords:
+            item["coords"] = coords
+        return item
+
+
+class MixedDataset:
+    """Uniform concatenation of several datasets — the reference's mixed
+    ``dataset_type`` list ("randomly sampled during training",
+    ``README.md:54``; exact sampling was unspecified upstream, SURVEY.md
+    §7.3.4 — we document uniform-over-items)."""
+
+    def __init__(self, datasets: Sequence):
+        self.datasets = list(datasets)
+        self._offsets = np.cumsum([0] + [len(d) for d in self.datasets])
+
+    def __len__(self):
+        return int(self._offsets[-1])
+
+    def __getitem__(self, idx):
+        d = int(np.searchsorted(self._offsets, idx, side="right") - 1)
+        return self.datasets[d][idx - int(self._offsets[d])]
+
+
+class SRPairedDataset:
+    """LR/HR paired tiles for the bulk-synthesis pipeline (contract of the
+    reference ``data/SR_dataset_RGB.py:8-56``): items are
+    {"lr": (3,h,w), "hr": (3,H,W), "s2_nir": (1,h,w), "coords": (2,),
+    "id": str}.  Reads ``LR/`` + ``HR/`` subfolders of 4-band (LR) and
+    3+-band (HR) rasters, .npz or GeoTIFF."""
+
+    def __init__(self, root_dir: str, dn_scale: float = 10000.0):
+        self.lr_dir = os.path.join(root_dir, "LR")
+        self.hr_dir = os.path.join(root_dir, "HR")
+        exts = (".npz", ".npy", ".tif", ".tiff")
+        self.names = sorted(
+            f for f in os.listdir(self.lr_dir)
+            if f.lower().endswith(exts) and os.path.isfile(os.path.join(self.hr_dir, f)))
+        self.dn_scale = dn_scale
+
+    def __len__(self):
+        return len(self.names)
+
+    def _read(self, path):
+        if path.endswith((".npz", ".npy")):
+            z = np.load(path)
+            img = z[list(z.files)[0]] if hasattr(z, "files") else z
+            coords = np.asarray(z["coords"], np.float32) if hasattr(z, "files") and "coords" in z else None
+            img = np.asarray(img)
+        else:
+            import tifffile
+
+            img = tifffile.imread(path)
+            if img.ndim == 3 and img.shape[-1] <= 8:
+                img = np.transpose(img, (2, 0, 1))
+            coords = None
+        if img.dtype.kind in "ui":
+            img = img.astype(np.float32) / self.dn_scale
+        return img.astype(np.float32), coords
+
+    def __getitem__(self, idx):
+        name = self.names[idx]
+        lr, coords = self._read(os.path.join(self.lr_dir, name))
+        hr, _ = self._read(os.path.join(self.hr_dir, name))
+        return {
+            "lr": lr[:3],
+            "hr": hr[:3],
+            "s2_nir": lr[3:4],
+            "coords": coords if coords is not None else np.zeros(2, np.float32),
+            "id": os.path.splitext(name)[0],
+        }

@@ -1,0 +1,127 @@
+"""Host-side input pipeline.
+
+The reference's only async machinery is torch DataLoader workers with
+prefetch (``configs/config_px2px.yaml:82-84``; SURVEY.md §2.9 row 5).  The
+TPU-native equivalent here:
+
+  * ``Loader`` — thread-pool item fetch + collate into numpy batch dicts,
+    with a bounded prefetch queue (threads suffice: item decode is
+    numpy/rasterio C code that releases the GIL).
+  * ``DeviceFeed`` — wraps a Loader and keeps one batch in flight on device
+    (``jax.device_put`` is async): while step N computes, batch N+1 is
+    already transferring — the double-buffered device feed of SURVEY.md §7.2
+    stage 7.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional
+
+import numpy as np
+
+__all__ = ["Loader", "DeviceFeed", "collate"]
+
+
+def collate(items) -> dict:
+    """List of item dicts → batch dict of stacked arrays (string fields
+    become lists, like torch's default collate for str)."""
+    out = {}
+    for k in items[0]:
+        vals = [it[k] for it in items]
+        out[k] = vals if isinstance(vals[0], str) else np.stack(vals)
+    return out
+
+
+class Loader:
+    """Minimal map-style batch loader: shuffle, batch, drop_last, threaded
+    prefetch.  Iterating yields numpy batch dicts; one pass = one epoch."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 num_workers: int = 0, seed: int = 0, drop_last: bool = True,
+                 prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.num_workers = max(0, int(num_workers))
+        self.seed = seed
+        self.drop_last = drop_last
+        self.prefetch = max(1, int(prefetch))
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _batches(self):
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(idx)
+        nb = len(self)
+        for b in range(nb):
+            yield idx[b * self.batch_size:(b + 1) * self.batch_size]
+
+    def __iter__(self) -> Iterator[dict]:
+        self._epoch += 1
+        if self.num_workers == 0:
+            for batch_idx in self._batches():
+                yield collate([self.dataset[int(i)] for i in batch_idx])
+            return
+        yield from self._threaded_iter()
+
+    def _threaded_iter(self):
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                try:
+                    for batch_idx in self._batches():
+                        if stop.is_set():
+                            return
+                        items = list(pool.map(self.dataset.__getitem__,
+                                              [int(i) for i in batch_idx]))
+                        q.put(collate(items))
+                finally:
+                    q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    break
+                yield batch
+        finally:
+            stop.set()
+            # drain so the producer can exit
+            while not q.empty():
+                q.get_nowait()
+
+
+class DeviceFeed:
+    """Double-buffered device feed: applies ``prepare`` (e.g. the task's
+    ``extract_batch`` + mesh sharding) and keeps the next batch's transfer
+    overlapped with the current step's compute."""
+
+    def __init__(self, loader: Loader, prepare):
+        self.loader = loader
+        self.prepare = prepare
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        it = iter(self.loader)
+        pending: Optional[dict] = None
+        for batch in it:
+            ready = pending
+            pending = self.prepare(batch)  # async device_put starts now
+            if ready is not None:
+                yield ready
+        if pending is not None:
+            yield pending

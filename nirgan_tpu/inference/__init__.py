@@ -1,0 +1,4 @@
+from nirgan_tpu.inference.histogram import histogram_match
+from nirgan_tpu.inference.synthesize import synthesize_dataset
+
+__all__ = ["histogram_match", "synthesize_dataset"]

@@ -1,0 +1,115 @@
+"""Bulk RGB→NIR synthesis — the serving pipeline
+(reference ``create_synthetic_dataset.py:98-124``).
+
+The reference's loop is: torch predict → CPU skimage histogram match per
+image → fp16 ``np.savez_compressed``.  Here the whole compute path is one
+jitted device program per batch — generator forward, ×4 bilinear upsample of
+the S2 NIR reference, then a second resize to the prediction size (the
+reference's double-interpolation quirk, ``:111`` then ``:37``, preserved),
+then sort-based histogram matching — and the only host work is the
+compressed write, done by a background thread so IO overlaps compute.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nirgan_tpu.inference.histogram import histogram_match
+from nirgan_tpu.ops.resize import resize_bilinear
+
+__all__ = ["synthesize_dataset"]
+
+
+def _writer_loop(q: "queue.Queue", out_path: str):
+    while True:
+        item = q.get()
+        if item is None:
+            return
+        name, arr = item
+        np.savez_compressed(os.path.join(out_path, f"{name}"), nir=arr)
+
+
+def synthesize_dataset(task, dataset, out_path: str, batch_size: int = 8,
+                       match_histograms: bool = True,
+                       plot_every: int = 10, plot_dir: Optional[str] = None,
+                       num_workers: int = 4):
+    """Run the generator over an LR/HR paired dataset and write synthetic
+    NIR tiles (fp16 .npz, key ``nir`` — reference ``save_image``, ``:49-52``).
+
+    ``task``: a bound Px2PxTask (``task.bind(state)`` done by the caller).
+    ``dataset``: SRPairedDataset-like items {"lr","hr","s2_nir","coords","id"}.
+    """
+    from nirgan_tpu.data.pipeline import Loader
+
+    os.makedirs(out_path, exist_ok=True)
+    loader = Loader(dataset, batch_size, shuffle=False, num_workers=num_workers,
+                    drop_last=False)
+
+    q: queue.Queue = queue.Queue(maxsize=16)
+    writer = threading.Thread(target=_writer_loop, args=(q, out_path), daemon=True)
+    writer.start()
+
+    @jax.jit
+    def _postprocess(pred_nhwc, s2_nir_nhwc):
+        # ×4 upsample then re-resize to prediction size (reference quirk)
+        up = resize_bilinear(s2_nir_nhwc, s2_nir_nhwc.shape[1] * 4,
+                             s2_nir_nhwc.shape[2] * 4)
+        up = resize_bilinear(up, pred_nhwc.shape[1], pred_nhwc.shape[2])
+        return histogram_match(pred_nhwc, up)
+
+    n_written = 0
+    for v, batch in enumerate(loader):
+        hr = batch["hr"]                      # (B,3,H,W)
+        s2 = batch["s2_nir"]                  # (B,1,h,w)
+        coords = batch.get("coords")
+        pred_nchw = task.predict_step(hr, coords if task.satclip else None)
+        pred = jnp.transpose(jnp.asarray(pred_nchw), (0, 2, 3, 1))
+        if match_histograms:
+            s2_nhwc = jnp.transpose(jnp.asarray(s2, jnp.float32), (0, 2, 3, 1))
+            pred = _postprocess(pred, s2_nhwc)
+        out = np.asarray(pred, np.float16).transpose(0, 3, 1, 2)
+        for im, tid in zip(out, batch["id"]):
+            q.put((tid, im))
+            n_written += 1
+        if plot_dir and v % plot_every == 0:
+            _plot_example(batch, out, v, plot_dir)
+    q.put(None)
+    writer.join()
+    return n_written
+
+
+def _plot_example(batch, pred_nchw, idx: int, plot_dir: str):
+    """4-panel HR-RGB | LR-RGB | synth NIR | real NIR example
+    (reference ``plot_example``, ``create_synthetic_dataset.py:54-84``)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        os.makedirs(plot_dir, exist_ok=True)
+        hr = np.clip(np.asarray(batch["hr"][0], np.float32) * 3, 0, 1)
+        lr = np.clip(np.asarray(batch["lr"][0], np.float32) * 3, 0, 1)
+        fig, axs = plt.subplots(1, 4, figsize=(16, 4))
+        axs[0].imshow(np.transpose(hr, (1, 2, 0)))
+        axs[0].set_title("HR RGB")
+        axs[1].imshow(np.transpose(lr, (1, 2, 0)))
+        axs[1].set_title("LR RGB")
+        axs[2].imshow(pred_nchw[0, 0].astype(np.float32), cmap="gray")
+        axs[2].set_title("Synth NIR")
+        axs[3].imshow(np.asarray(batch["s2_nir"][0, 0], np.float32), cmap="gray")
+        axs[3].set_title("Real NIR")
+        for ax in axs:
+            ax.axis("off")
+        fig.tight_layout()
+        fig.savefig(os.path.join(plot_dir, f"example_{idx}.png"))
+        plt.close(fig)
+    except Exception as e:
+        print("example plot failed:", e)

@@ -1,0 +1,244 @@
+"""Training orchestration — the reference's PL ``Trainer`` + callback stack
+(``train.py:84-136``) as one explicit loop.
+
+What the PL machinery did implicitly, spelled out:
+  * epoch loop + step cap (``max_steps=200_000``, ``train.py:124``)
+  * validation every epoch, capped batches (``limit_val_batches=5``)
+  * ModelCheckpoint(monitor=val/L1, min, save_last, top-1) → orbax best/last
+  * two ReduceLROnPlateau schedulers, patience from config, factor left at
+    the torch default (reference quirk, see ``train/scheduler.py``)
+  * LearningRateMonitor → ``lr/G``, ``lr/D`` scalars
+  * config snapshot into the experiment dir at epoch 1
+    (``model/pix2pix.py:321-324``)
+  * image panels + input-stats + per-index dicts for the first
+    ``num_val_images`` val batches (``model/pix2pix.py:286-315``)
+  * best-effort offline validation callbacks — never kill training
+    (``model/pix2pix.py:329-344``)
+
+TPU-native additions the reference lacks (SURVEY.md §5.1-§5.3):
+  * per-step wall-clock + images/sec logging
+  * optional ``jax.profiler`` trace capture (NIRGAN_PROFILE_DIR env var)
+  * finite-loss guard (EarlyStopping(check_finite) was constructed but never
+    passed to the reference Trainer, ``train.py:110-131``; here it is real)
+  * optional NaN debugging via ``config.tpu.debug_nans``
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import time
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nirgan_tpu.config import save_config, tpu_section
+from nirgan_tpu.data.pipeline import DeviceFeed
+from nirgan_tpu.parallel import create_mesh, replicate, replicated_sharding, shard_batch
+from nirgan_tpu.train.checkpoint import CheckpointManager, merge_params
+from nirgan_tpu.train.scheduler import ReduceLROnPlateau
+from nirgan_tpu.utils.loggers import ExperimentLogger
+
+__all__ = ["Trainer"]
+
+
+class Trainer:
+    def __init__(self, task, datamodule, config, logdir: Optional[str] = None,
+                 mesh=None, max_steps: Optional[int] = None,
+                 limit_val_batches: Optional[int] = None, log_every: int = 10,
+                 seed: int = 0):
+        self.task = task
+        self.dm = datamodule
+        self.config = config
+        cc = config.custom_configs
+        self.max_steps = int(max_steps if max_steps is not None
+                             else cc.Training.get("max_steps", 200_000))
+        self.limit_val_batches = int(
+            limit_val_batches if limit_val_batches is not None
+            else cc.Training.get("limit_val_batches", 5))
+        self.num_val_images = int(cc.Logging.get("num_val_images", 1))
+        self.log_ndvi = bool(cc.Logging.get("log_ndvi", False))
+        self.log_input_stats = bool(cc.Logging.get("log_input_stats", False))
+        self.log_every = log_every
+        self.seed = seed
+
+        if tpu_section(config).get("debug_nans", False):
+            jax.config.update("jax_debug_nans", True)
+
+        self.mesh = mesh if mesh is not None else create_mesh(("data",))
+        project = cc.Logging.get("wandb_project", "nirgan_tpu")
+        if logdir is None:
+            stamp = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+            logdir = os.path.join("logs", project, stamp)
+        self.logdir = logdir
+        self.logger = ExperimentLogger(logdir, project=project)
+        self.ckpt = CheckpointManager(logdir, monitor=config.Schedulers.metric,
+                                      mode="min")
+
+        sch = config.Schedulers
+        # quirk preserved: factor_g/factor_d configured but torch default 0.1
+        # is what actually runs in the reference (model/pix2pix.py:488-489)
+        self.sched_g = ReduceLROnPlateau(patience=int(sch.patience_g))
+        self.sched_d = ReduceLROnPlateau(patience=int(sch.patience_d))
+        self.monitor = sch.metric
+
+        self._train_step = task.make_train_step(mesh=self.mesh)
+        self._eval_step = task.make_eval_step(mesh=self.mesh)
+        self._profile_dir = os.environ.get("NIRGAN_PROFILE_DIR")
+
+    # ----------------------------------------------------------------- state
+    def _initial_state(self, image_size: int):
+        state = self.task.init_state(seed=self.seed, image_size=image_size)
+        cc = self.config.custom_configs
+        if cc.Model.get("load_weights_only") and cc.Model.get("weights_path"):
+            loaded = self._load_weights(cc.Model.weights_path)
+            if "params_g" in loaded:
+                state = state.replace(params_g=merge_params(state.params_g,
+                                                            loaded["params_g"]))
+            if "params_d" in loaded:
+                state = state.replace(params_d=merge_params(state.params_d,
+                                                            loaded["params_d"]))
+            print(f"Loaded (only) weights from: {cc.Model.weights_path}")
+        state = replicate(self.mesh, state)
+        if cc.Model.get("load_checkpoint") and self.ckpt.has("last"):
+            state = self.ckpt.restore(state, "last")
+            print(f"Resumed full train state at step {int(jax.device_get(state.step))}")
+        return state
+
+    def _load_weights(self, path: str) -> dict:
+        if path.endswith((".ckpt", ".pt", ".pth")):
+            return self.task.load_torch_weights(path)
+        import orbax.checkpoint as ocp
+
+        restored = ocp.StandardCheckpointer().restore(os.path.abspath(path))
+        return {k: restored[k] for k in ("params_g", "params_d") if k in restored}
+
+    # ------------------------------------------------------------------ fit
+    def fit(self, state=None):
+        sample = self.dm.train_ds[0]
+        image_size = sample["rgb"].shape[-1]
+        if state is None:
+            state = self._initial_state(image_size)
+
+        prepare = lambda b: shard_batch(self.mesh, self.task.extract_batch(b))
+        step_no = int(jax.device_get(state.step))
+        epoch = 0
+        t_window, n_window = time.perf_counter(), 0
+        batch_images = self.dm.train_batch_size
+
+        while step_no < self.max_steps:
+            for ex in DeviceFeed(self.dm.train_dataloader(), prepare):
+                if self._profile_dir and step_no == 10:
+                    jax.profiler.start_trace(self._profile_dir)
+                state, metrics = self._train_step(state, ex)
+                step_no += 1
+                n_window += batch_images
+                if self._profile_dir and step_no == 20:
+                    jax.profiler.stop_trace()
+
+                if step_no % self.log_every == 0:
+                    m = {k: float(jax.device_get(v)) for k, v in metrics.items()}
+                    if not np.isfinite(m["model_loss/generator_total_loss"]):
+                        raise RuntimeError(
+                            f"non-finite generator loss at step {step_no}: {m}")
+                    dt = time.perf_counter() - t_window
+                    m["perf/images_per_sec"] = n_window / max(dt, 1e-9)
+                    m["perf/step_ms"] = 1000.0 * dt / max(n_window / batch_images, 1)
+                    m["lr/G"], m["lr/D"] = float(jax.device_get(state.lr_g)), float(
+                        jax.device_get(state.lr_d))
+                    self.logger.log_metrics(m, step_no)
+                    t_window, n_window = time.perf_counter(), 0
+                if step_no >= self.max_steps:
+                    break
+
+            epoch += 1
+            state = self._run_validation(state, epoch, step_no)
+
+        return state
+
+    # ----------------------------------------------------------- validation
+    def _run_validation(self, state, epoch: int, step_no: int):
+        agg: dict = {}
+        n_batches = 0
+        for i, batch in enumerate(self.dm.val_dataloader()):
+            if i >= self.limit_val_batches:
+                break
+            ex = shard_batch(self.mesh, self.task.extract_batch(batch))
+            pred, metrics = self._eval_step(state.params_g, ex)
+            for k, v in metrics.items():
+                agg[k] = agg.get(k, 0.0) + float(jax.device_get(v))
+            n_batches += 1
+            if i < self.num_val_images:
+                self._log_val_images(batch, pred, ex, step_no)
+        if n_batches == 0:
+            return state
+        val = {k: v / n_batches for k, v in agg.items()}
+        val["epoch"] = epoch
+        self.logger.log_metrics(val, step_no)
+
+        # config snapshot at epoch 1 (reference model/pix2pix.py:321-324)
+        if epoch == 1:
+            try:
+                save_config(self.config, os.path.join(self.logdir, "config.yaml"))
+            except Exception as e:  # best-effort, like the reference
+                print("Error in saving config to experiment path:", e)
+
+        # plateau scheduling on the monitored metric
+        monitored = val.get(self.monitor)
+        if monitored is not None:
+            repl = replicated_sharding(self.mesh)
+            new_g = self.sched_g.step(monitored, float(jax.device_get(state.lr_g)))
+            new_d = self.sched_d.step(monitored, float(jax.device_get(state.lr_d)))
+            state = state.replace(
+                lr_g=jax.device_put(jnp.asarray(new_g, jnp.float32), repl),
+                lr_d=jax.device_put(jnp.asarray(new_d, jnp.float32), repl))
+
+        self.ckpt.save(state, val)
+
+        # best-effort offline geo-validation (never kills training,
+        # reference model/pix2pix.py:329-344)
+        if self.config.custom_configs.get("experimentation", {}).get("save_val_df"):
+            try:
+                if epoch >= 1:
+                    from nirgan_tpu.validation.spider import spider_validation_callback
+
+                    self.task.bind(jax.device_get(state.params_g))
+                    spider_validation_callback(
+                        self.task, self.dm.val_ds, satclip=self.task.satclip,
+                        folder=self.logdir, epoch_no=epoch)
+            except Exception as e:
+                print("Error in spider callback validation and saving:", e)
+        return state
+
+    def _log_val_images(self, batch, pred, ex, step_no):
+        try:
+            from nirgan_tpu.utils.logging_helpers import plot_index, plot_tensors_hist
+
+            rgb = np.asarray(batch["rgb"], np.float32)[:, :3]
+            nir = np.asarray(batch["nir"], np.float32)
+            pred_nchw = np.transpose(np.asarray(jax.device_get(pred)), (0, 3, 1, 2))
+            self.logger.log_image("Images/Val NIR",
+                                  plot_tensors_hist(rgb, nir, pred_nchw), step_no)
+            if self.log_ndvi:
+                self.logger.log_image("Images/Val NDVI",
+                                      plot_index(rgb, nir, pred_nchw), step_no)
+            if self.log_input_stats:
+                self.logger.log_metrics({
+                    "val_stats/min_pred": pred_nchw.min(),
+                    "val_stats/max_pred": pred_nchw.max(),
+                    "val_stats/mean_pred": pred_nchw.mean(),
+                    "val_stats/min_input": nir.min(),
+                    "val_stats/max_input": nir.max(),
+                    "val_stats/mean_input": nir.mean(),
+                }, step_no)
+            if self.task.lambda_rs > 0.0 and self.task.rs_losses is not None:
+                from nirgan_tpu.tasks.px2px import nchw_to_nhwc
+
+                d = self.task.rs_losses.get_and_weight_losses(
+                    nchw_to_nhwc(rgb), nchw_to_nhwc(nir),
+                    jnp.asarray(jax.device_get(pred)), mode="logging_dict")
+                self.logger.log_metrics(d, step_no)
+        except Exception as e:
+            print("Error in validation image logging:", e)

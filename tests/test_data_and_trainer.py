@@ -1,0 +1,185 @@
+"""Data layer, scheduler, checkpointing, and full trainer-loop smoke tests
+(all on the virtual CPU mesh)."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from nirgan_tpu.config import load_config
+from nirgan_tpu.data import dataset_selector
+from nirgan_tpu.data.datasets import ArrayDataset, FakeDataset, MixedDataset, NpzFolderDataset
+from nirgan_tpu.data.pipeline import Loader, collate
+from nirgan_tpu.data.normalise import minmax_percentile
+from nirgan_tpu.train.checkpoint import CheckpointManager, merge_params
+from nirgan_tpu.train.scheduler import ReduceLROnPlateau
+from nirgan_tpu.tasks import Px2PxTask
+
+
+def _cfg(tmp=None, satclip=False):
+    cfg = load_config("configs/config_px2px_SatCLIP.yaml" if satclip
+                      else "configs/config_px2px.yaml")
+    cfg.base_configs.ngf = 8
+    cfg.base_configs.ndf = 8
+    cfg.Data.padding_amount = 2
+    cfg.Data.train_batch_size = 8
+    cfg.Data.val_batch_size = 8
+    cfg.Data.num_workers = 2
+    cfg.Data.fake_settings.image_size = 32
+    cfg.Data.fake_settings.length = 32
+    cfg.tpu.compute_dtype = "float32"
+    cfg.custom_configs.Logging.num_val_images = 1
+    cfg.custom_configs.experimentation = {"save_val_df": False}
+    return cfg
+
+
+# ------------------------------------------------------------------- data
+
+def test_fake_dataset_contract():
+    ds = FakeDataset(image_size=64, length=10, return_coords=True)
+    item = ds[3]
+    assert item["rgb"].shape == (3, 64, 64) and item["rgb"].dtype == np.float32
+    assert item["nir"].shape == (1, 64, 64)
+    assert item["coords"].shape == (2,)
+    assert 0 <= item["rgb"].min() and item["rgb"].max() <= 1
+    np.testing.assert_array_equal(ds[3]["rgb"], item["rgb"])  # deterministic
+
+
+def test_loader_batching_and_workers():
+    ds = FakeDataset(image_size=16, length=20)
+    dl = Loader(ds, batch_size=8, shuffle=True, num_workers=3, drop_last=True)
+    batches = list(dl)
+    assert len(batches) == 2 == len(dl)
+    assert batches[0]["rgb"].shape == (8, 3, 16, 16)
+    # shuffling differs between epochs
+    b2 = list(dl)
+    assert not np.array_equal(batches[0]["rgb"], b2[0]["rgb"])
+
+
+def test_npz_folder_dataset(tmp_path):
+    for i in range(4):
+        rgbn = (np.random.default_rng(i).random((4, 40, 40)) * 10000).astype(np.uint16)
+        np.savez(tmp_path / f"tile{i}.npz", image=rgbn,
+                 coords=np.asarray([10.0 + i, 50.0], np.float32))
+    ds = NpzFolderDataset(str(tmp_path), image_size=32, return_coords=True)
+    item = ds[0]
+    assert item["rgb"].shape == (3, 32, 32)
+    assert item["nir"].shape == (1, 32, 32)
+    assert item["rgb"].max() <= 1.0  # DN/10000 scaling
+
+
+def test_mixed_dataset_and_selector():
+    cfg = _cfg()
+    cfg.Data.dataset_type = ["fake", "fake"]
+    dm = dataset_selector(cfg)
+    assert len(dm.train_ds) == 64
+    batch = next(iter(dm.train_dataloader()))
+    assert batch["rgb"].shape == (8, 3, 32, 32)
+
+
+def test_collate_strings():
+    out = collate([{"id": "a", "x": np.zeros(2)}, {"id": "b", "x": np.ones(2)}])
+    assert out["id"] == ["a", "b"] and out["x"].shape == (2, 2)
+
+
+def test_minmax_percentile():
+    x = np.linspace(0, 10, 1000).reshape(10, 100)
+    y = minmax_percentile(x, 2)
+    assert y.min() == 0.0 and y.max() == 1.0
+
+
+# -------------------------------------------------------------- scheduler
+
+def test_plateau_scheduler_torch_semantics():
+    s = ReduceLROnPlateau(patience=2, factor=0.1)
+    lr = 1.0
+    lr = s.step(1.0, lr)   # best
+    lr = s.step(1.0, lr)   # bad 1 (not < best*(1-1e-4))
+    lr = s.step(1.0, lr)   # bad 2
+    assert lr == 1.0
+    lr = s.step(1.0, lr)   # bad 3 > patience → reduce
+    assert lr == pytest.approx(0.1)
+    lr = s.step(0.5, lr)   # improvement resets
+    assert lr == pytest.approx(0.1)
+
+
+# ------------------------------------------------------------ checkpoints
+
+def test_checkpoint_best_last_and_restore(tmp_path):
+    task = Px2PxTask(_cfg())
+    state = task.init_state(seed=0, image_size=32)
+    mgr = CheckpointManager(str(tmp_path), monitor="val/L1", mode="min")
+    assert mgr.save(state, {"val/L1": 0.5})       # first → best
+    assert not mgr.save(state.replace(step=state.step + 1), {"val/L1": 0.9})
+    assert mgr.save(state.replace(step=state.step + 2), {"val/L1": 0.1})
+    template = task.init_state(seed=1, image_size=32)
+    restored = mgr.restore(template, "best")
+    assert int(restored.step) == 2
+    # last has step 2 as well (saved after best)
+    assert int(mgr.restore(template, "last").step) == 2
+
+
+def test_merge_params_partial_restore():
+    task = Px2PxTask(_cfg())
+    a = task.init_state(seed=0, image_size=32).params_g
+    b = task.init_state(seed=1, image_size=32).params_g
+    partial = {"c0": jax.device_get(b["c0"]), "bogus": {"x": np.zeros(3)},
+               "d0": {"kernel": np.zeros((9, 9, 9, 9))}}  # wrong shape → skipped
+    merged = merge_params(jax.device_get(a), partial)
+    np.testing.assert_array_equal(merged["c0"]["kernel"], jax.device_get(b["c0"]["kernel"]))
+    np.testing.assert_array_equal(merged["d0"]["kernel"], jax.device_get(a["d0"]["kernel"]))
+    assert "bogus" not in merged
+
+
+# ---------------------------------------------------------------- trainer
+
+def test_trainer_fit_end_to_end(tmp_path):
+    from nirgan_tpu.train.trainer import Trainer
+
+    cfg = _cfg()
+    task = Px2PxTask(cfg)
+    dm = dataset_selector(cfg)
+    tr = Trainer(task, dm, cfg, logdir=str(tmp_path / "exp"), max_steps=9,
+                 limit_val_batches=1, log_every=3)
+    state = tr.fit()
+    assert int(jax.device_get(state.step)) == 9
+
+    lines = [json.loads(l) for l in open(tmp_path / "exp" / "metrics.jsonl")]
+    keys = set().union(*[set(l) for l in lines])
+    assert "model_loss/generator_total_loss" in keys
+    assert "val/L1" in keys and "perf/images_per_sec" in keys
+    assert "lr/G" in keys
+    assert (tmp_path / "exp" / "config.yaml").exists()          # epoch-1 snapshot
+    assert (tmp_path / "exp" / "last").is_dir()                  # orbax ckpt
+    assert glob.glob(str(tmp_path / "exp" / "images" / "*.png"))  # val panels
+
+    # resume: restore last and continue
+    cfg.custom_configs.Model.load_checkpoint = True
+    tr2 = Trainer(task, dm, cfg, logdir=str(tmp_path / "exp"), max_steps=12,
+                  limit_val_batches=1, log_every=3)
+    state2 = tr2.fit()
+    assert int(jax.device_get(state2.step)) == 12
+
+
+def test_trainer_baseline(tmp_path):
+    from nirgan_tpu.tasks.baseline import BaselineTask
+    from nirgan_tpu.train.trainer import Trainer
+
+    cfg = load_config("configs/config_baselines.yaml")
+    cfg.Data.dataset_type = "fake"
+    cfg.Data.fake_settings = {"image_size": 32, "length": 32}
+    cfg.Data.train_batch_size = 8
+    cfg.Data.val_batch_size = 8
+    cfg.custom_configs.experimentation = {"save_val_df": False}
+    task = BaselineTask(cfg)
+    dm = dataset_selector(cfg)
+    tr = Trainer(task, dm, cfg, logdir=str(tmp_path / "b"), max_steps=8,
+                 limit_val_batches=1, log_every=4)
+    state = tr.fit()
+    assert int(jax.device_get(state.step)) == 8
+    lines = [json.loads(l) for l in open(tmp_path / "b" / "metrics.jsonl")]
+    assert any("train/loss" in l for l in lines)

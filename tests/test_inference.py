@@ -1,0 +1,77 @@
+"""Histogram matching + bulk synthesis pipeline tests."""
+
+import os
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from nirgan_tpu.config import load_config
+from nirgan_tpu.inference import histogram_match, synthesize_dataset
+from nirgan_tpu.tasks import Px2PxTask
+
+
+def test_histogram_match_transfers_distribution():
+    rng = np.random.default_rng(0)
+    src = rng.normal(0.3, 0.05, (2, 32, 32, 1)).astype(np.float32)
+    ref = rng.normal(0.7, 0.15, (2, 32, 32, 1)).astype(np.float32)
+    out = np.asarray(histogram_match(jnp.asarray(src), jnp.asarray(ref)))
+    # exact distribution transfer: sorted output == sorted reference
+    for b in range(2):
+        np.testing.assert_allclose(np.sort(out[b].ravel()),
+                                   np.sort(ref[b].ravel()), rtol=1e-6)
+    # rank order preserved
+    b0s, b0o = src[0].ravel(), out[0].ravel()
+    i, j = np.argmax(b0s), np.argmin(b0s)
+    assert b0o[i] == out[0].ravel().max() and b0o[j] == out[0].ravel().min()
+
+
+def test_histogram_match_different_sizes():
+    rng = np.random.default_rng(1)
+    src = rng.random((1, 40, 40, 1)).astype(np.float32)
+    ref = rng.random((1, 10, 10, 1)).astype(np.float32)  # fewer pixels
+    out = np.asarray(histogram_match(jnp.asarray(src), jnp.asarray(ref)))
+    assert out.shape == src.shape
+    assert abs(out.mean() - ref.mean()) < 0.02
+
+
+class _TinySRDataset:
+    """In-memory SRPairedDataset stand-in (contract of data/SR_dataset_RGB.py)."""
+
+    def __init__(self, n=5, hr=64, lr=16):
+        self.n, self.hr, self.lr = n, hr, lr
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        rng = np.random.default_rng(i)
+        return {
+            "lr": rng.random((3, self.lr, self.lr), dtype=np.float32),
+            "hr": rng.random((3, self.hr, self.hr), dtype=np.float32),
+            "s2_nir": rng.random((1, self.lr, self.lr), dtype=np.float32),
+            "coords": np.zeros(2, np.float32),
+            "id": f"tile_{i:03d}",
+        }
+
+
+def test_synthesize_dataset_end_to_end(tmp_path):
+    cfg = load_config("configs/config_px2px.yaml")
+    cfg.base_configs.ngf = 8
+    cfg.base_configs.ndf = 8
+    cfg.Data.padding_amount = 2
+    cfg.tpu.compute_dtype = "float32"
+    cfg.tpu.shape_buckets = [64]
+    task = Px2PxTask(cfg)
+    task.bind(task.init_state(seed=0, image_size=64))
+
+    ds = _TinySRDataset()
+    out = str(tmp_path / "synth")
+    n = synthesize_dataset(task, ds, out, batch_size=2,
+                           plot_dir=str(tmp_path / "plots"), plot_every=2)
+    assert n == 5
+    files = sorted(os.listdir(out))
+    assert len(files) == 5 and files[0] == "tile_000.npz"
+    z = np.load(os.path.join(out, files[0]))
+    assert z["nir"].dtype == np.float16 and z["nir"].shape == (1, 64, 64)
+    assert os.path.exists(tmp_path / "plots" / "example_0.png")
