@@ -58,11 +58,13 @@ def _prep(rgb, nir, nir_pred):
 class RemoteSensingIndices:
     """mode: 'loss' (scalar criterion) or 'index' (return index image pair)."""
 
-    def __init__(self, mode: str = "loss", criterion: str = "l1"):
+    def __init__(self, mode: str = "loss", criterion: str = "l1",
+                 eps: float | None = None):
         if mode not in ("loss", "index"):
             raise AssertionError(
                 f"Mode '{mode}' not implemented. 'loss', 'index' are supported.")
         self.mode = mode
+        self.eps_override = eps
         if criterion == "l1":
             self.criterion = l1_loss
         elif criterion == "l2":
@@ -79,6 +81,8 @@ class RemoteSensingIndices:
 
     @property
     def _eps(self):
+        if self.eps_override is not None:
+            return self.eps_override
         return 1e-6 if self.mode == "loss" else 0.0
 
     # -- indices -----------------------------------------------------------
@@ -125,7 +129,7 @@ class RemoteSensingIndices:
         l, c1, c2, g = 1.0, 6.0, 7.5, 2.5
         rgb, nir, nir_pred = _prep(rgb, nir, nir_pred)
         red, blue = rgb[..., 0:1], rgb[..., 2:3]
-        eps = 1e-6 if self.mode == "loss" else 0.0
+        eps = self._eps
         denom = (nir + c1) * (red - c2) * (blue + l) + eps
         denom_pred = (nir_pred + c1) * (red - c2) * (blue + l) + eps
         return self._finish(g * (nir - red) / denom, g * (nir_pred - red) / denom_pred)

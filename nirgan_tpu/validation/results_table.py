@@ -1,0 +1,64 @@
+"""Offline results-table driver (reference
+``validation_utils/get_results_table.py``): load a config + checkpoint,
+sweep a validation dataset into the per-sample metric GeoJSON, and emit the
+radar comparison plots for SatCLIP vs no-SatCLIP runs.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+__all__ = ["create_val_metrics", "run_comparison"]
+
+
+def create_val_metrics(config_path: str, folder: str, dataset=None,
+                       weights_path: str | None = None, max_samples=None):
+    """One model sweep → CSV + context GeoJSON in ``folder``."""
+    from nirgan_tpu.config import load_config
+    from nirgan_tpu.data.select_dataset import dataset_selector
+    from nirgan_tpu.tasks import Px2PxTask
+    from nirgan_tpu.train.checkpoint import merge_params
+    from nirgan_tpu.validation.spider import spider_validation_callback
+
+    config = load_config(config_path)
+    task = Px2PxTask(config)
+    state = task.init_state(seed=0, image_size=64)
+    params_g = state.params_g
+    wp = weights_path or config.custom_configs.Model.get("weights_path")
+    if wp and os.path.exists(wp):
+        loaded = task.load_torch_weights(wp) if wp.endswith((".ckpt", ".pt")) else None
+        if loaded and "params_g" in loaded:
+            params_g = merge_params(params_g, loaded["params_g"])
+            print("Loaded (only) Weights from:", wp)
+    task.bind(params_g)
+
+    if dataset is None:
+        dataset = dataset_selector(config).val_ds
+    return spider_validation_callback(task, dataset, satclip=task.satclip,
+                                      folder=folder, epoch_no=0,
+                                      max_samples=max_samples)
+
+
+def run_comparison(satclip_config: str, plain_config: str, dataset=None,
+                   out_root: str = "validation_metrics", max_samples=None):
+    """Both sweeps + the three radar comparisons (Continent / Köppen /
+    economy), mirroring the reference's main flow (``:155-183``)."""
+    from nirgan_tpu.validation.spiders import plot_radar_comparison, read_metric_geojson
+
+    folder = os.path.join(out_root,
+                          datetime.datetime.now().strftime("%d_%m_%Y_%H_%M_%S"))
+    os.makedirs(folder, exist_ok=True)
+    create_val_metrics(plain_config, folder, dataset=dataset, max_samples=max_samples)
+    nosc = os.path.join(folder, "validation_metrics_ablation_satclip_False_e0.geojson")
+    create_val_metrics(satclip_config, folder, dataset=dataset, max_samples=max_samples)
+    sc = os.path.join(folder, "validation_metrics_ablation_satclip_True_e0.geojson")
+
+    gdf_sc, gdf_nosc = read_metric_geojson(sc), read_metric_geojson(nosc)
+    outs = []
+    for dt in ("Continent", "Koppen_Class", "economy"):
+        try:
+            outs.append(plot_radar_comparison(gdf_sc, gdf_nosc, dt, folder=folder))
+        except Exception as e:
+            print(f"radar {dt} skipped:", e)
+    return folder, outs

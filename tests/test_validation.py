@@ -1,0 +1,106 @@
+"""Validation-suite tests: crop utility, per-sample metric program, spider
+sweep → CSV/GeoJSON, radar plots, time-series timeline (fake-data path)."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import jax.numpy as jnp
+
+from nirgan_tpu.config import load_config
+from nirgan_tpu.data.datasets import FakeDataset
+from nirgan_tpu.tasks import Px2PxTask
+from nirgan_tpu.validation.geo_ablation import clean_economy
+from nirgan_tpu.validation.per_sample_metrics import per_sample_metrics
+from nirgan_tpu.validation.spider import spider_validation_callback
+from nirgan_tpu.validation.spiders import plot_radar_comparison, read_metric_geojson
+from nirgan_tpu.validation.time_series import (
+    calculate_and_plot_timeline,
+    get_pred_nirs_and_info,
+)
+from nirgan_tpu.validation.val_utils import crop_center
+
+
+def test_crop_center():
+    im = np.arange(3 * 10 * 12).reshape(3, 10, 12)
+    out = crop_center(im, 6)
+    assert out.shape == (3, 6, 6)
+    np.testing.assert_array_equal(out, im[:, 2:8, 3:9])
+    out2 = crop_center(im[0], 6)  # 2-D passthrough
+    assert out2.shape == (6, 6)
+    with pytest.raises(AssertionError):
+        crop_center(im, 20)
+
+
+def test_per_sample_metrics_consistency():
+    rng = np.random.default_rng(0)
+    rgb = rng.random((3, 16, 16, 3)).astype(np.float32)
+    nir = rng.random((3, 16, 16, 1)).astype(np.float32)
+    pred = np.clip(nir + 0.1 * rng.standard_normal(nir.shape).astype(np.float32), 0, 1)
+    m = per_sample_metrics(jnp.asarray(rgb), jnp.asarray(nir), jnp.asarray(pred))
+    assert all(np.asarray(v).shape == (3,) for v in m.values())
+    # per-sample L1 equals hand computation
+    np.testing.assert_allclose(np.asarray(m["l1"]),
+                               np.mean(np.abs(pred - nir), axis=(1, 2, 3)), rtol=1e-5)
+    assert np.all(np.asarray(m["psnr"]) > 0)
+
+
+def test_clean_economy_mapping():
+    df = pd.DataFrame({"ECONOMY": ["1. Developed region: G7", "6. Developing",
+                                   None, "nonsense"]})
+    out = clean_economy(df)
+    assert list(out["economy"]) == ["Developed: G7", "Developing",
+                                    "Unknown", "Unknown"]
+    assert "ECONOMY" not in out
+
+
+def _small_task():
+    cfg = load_config("configs/config_px2px.yaml")
+    cfg.base_configs.ngf = 8
+    cfg.base_configs.ndf = 8
+    cfg.Data.padding_amount = 2
+    cfg.tpu.compute_dtype = "float32"
+    cfg.tpu.shape_buckets = [256]
+    task = Px2PxTask(cfg)
+    task.bind(task.init_state(seed=0, image_size=256))
+    return task
+
+
+def test_spider_sweep_and_radar(tmp_path):
+    task = _small_task()
+    ds = FakeDataset(image_size=256, length=6, return_coords=True)
+    gdf = spider_validation_callback(task, ds, satclip=False, folder=str(tmp_path),
+                                     epoch_no=3, batch_size=3, plot_every=4)
+    assert len(gdf) == 6
+    assert {"ssim", "psnr", "l1", "l1_ndvi", "economy", "Koppen_Class"} <= set(gdf.columns)
+    assert (tmp_path / "validation_metrics.csv").exists()
+    geo = tmp_path / "validation_metrics_ablation_satclip_False_e3.geojson"
+    assert geo.exists()
+    fc = json.load(open(geo))
+    assert fc["type"] == "FeatureCollection" and len(fc["features"]) == 6
+    assert (tmp_path / "images").is_dir()
+
+    # radar comparison from the emitted geojson (no geopandas needed)
+    df = read_metric_geojson(str(geo))
+    out = plot_radar_comparison(df, df, "Continent", folder=str(tmp_path / "radar"))
+    assert os.path.exists(out)
+
+
+def test_time_series_fake_path(tmp_path):
+    rng = np.random.default_rng(0)
+    for i, date in enumerate(["20230101", "20230315", "20230601"]):
+        img = (rng.random((4, 96, 96)) * 10000).astype(np.uint16)
+        np.savez(tmp_path / f"S2_{date}T101031_tile.npz", image=img)
+    np.savez(tmp_path / "S2_SKIP_bad.npz", image=np.zeros((4, 8, 8), np.uint16))
+
+    rgbs, nirs, preds, stamps = get_pred_nirs_and_info(
+        model=None, root_dir=str(tmp_path / "*.npz"), size_input=64)
+    assert rgbs.shape == (3, 3, 64, 64) and stamps == ["20230101", "20230315", "20230601"]
+    np.testing.assert_allclose(preds, nirs * 1.15)  # reference fake-data path
+
+    img = calculate_and_plot_timeline(model=None, root_dir=str(tmp_path / "*.npz"),
+                                      size_input=64, mean_patch_size=4)
+    assert img.size[0] > 100  # a real PIL image came back
