@@ -24,14 +24,17 @@ import time
 
 import numpy as np
 
-BATCH = 8
+BATCH = 32
 SIZE = 512
-ITERS = 30
+ITERS = 16
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "benchmarks", "baseline_torch_cpu.json")
 
 
 def measure_jax() -> float:
+    from nirgan_tpu.runtime import setup_runtime
+
+    setup_runtime()
     import jax
     import jax.numpy as jnp
     from nirgan_tpu.config import load_config

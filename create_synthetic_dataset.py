@@ -22,6 +22,10 @@ def main():
     p.add_argument("--plot-dir", default=None)
     args = p.parse_args()
 
+    from nirgan_tpu.runtime import setup_runtime
+
+    setup_runtime()
+
     from nirgan_tpu.config import load_config
     from nirgan_tpu.data.datasets import SRPairedDataset
     from nirgan_tpu.inference import synthesize_dataset

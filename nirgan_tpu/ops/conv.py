@@ -46,6 +46,22 @@ def conv_transpose2d(
     padding: int = 1,
     output_padding: int = 1,
 ):
+    """Measured choice: the input-dilated form wins on TPU.  A zero-waste
+    subpixel decomposition (4 parity-class convs + depth-to-space) was 17%
+    *slower* end-to-end despite 4× fewer MACs — the tiny-kernel convs and the
+    interleave reshuffle tile worse than XLA's handling of lhs_dilation
+    (benchmarks/RESULTS.md)."""
+    return _conv_transpose2d_dilated(x, kernel, bias, stride, padding, output_padding)
+
+
+def _conv_transpose2d_dilated(
+    x,
+    kernel,
+    bias=None,
+    stride: int = 2,
+    padding: int = 1,
+    output_padding: int = 1,
+):
     """2-D transposed convolution, torch ``nn.ConvTranspose2d`` semantics.
 
     torch stores ConvTranspose2d weight as (Cin, Cout, kh, kw); we store it

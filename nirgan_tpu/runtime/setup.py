@@ -1,0 +1,39 @@
+"""Process-level runtime setup shared by all CLIs.
+
+Centralises the JAX runtime knobs the reference scatters over torch
+globals (``torch.set_float32_matmul_precision`` at ``train.py:29``):
+
+  * persistent compilation cache — first compiles of the 9-block generator
+    take 20-40 s (more through the axon tunnel); the cache makes every
+    subsequent process start warm,
+  * optional NaN debugging (the TPU-side analogue of the reference's
+    EMD asserts / check_finite, SURVEY.md §5.2),
+  * optional f32 matmul precision override for parity experiments.
+"""
+
+from __future__ import annotations
+
+import os
+
+__all__ = ["setup_runtime"]
+
+
+def setup_runtime(cache_dir: str | None = None, debug_nans: bool = False,
+                  matmul_precision: str | None = None):
+    import jax
+
+    if cache_dir is None:
+        cache_dir = os.environ.get(
+            "NIRGAN_JAX_CACHE",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # cache is an optimisation, never a requirement
+    if debug_nans or os.environ.get("NIRGAN_DEBUG_NANS"):
+        jax.config.update("jax_debug_nans", True)
+    if matmul_precision:
+        jax.config.update("jax_default_matmul_precision", matmul_precision)

@@ -115,6 +115,11 @@ class Px2PxTask:
         self.rs_weights = (dict(self.opt.internal_rs_loss_weights)
                            if "internal_rs_loss_weights" in self.opt else None)
 
+        # legacy Pix2PixModel halves the D loss (pix2pix_model.py:128); the
+        # PL port dropped the ×0.5 (pix2pix.py:206).  Default mirrors the PL
+        # port; the flag restores the legacy objective (SURVEY.md §2 row 18).
+        self.legacy_halve_d_loss = bool(self.opt.get("legacy_halve_d_loss", False))
+
         # --- padding (reference model/pix2pix.py:91-108)
         self.use_padding = bool(config.Data.padding)
         self.pad_amount = int(config.Data.padding_amount) if self.use_padding else 0
@@ -194,6 +199,8 @@ class Px2PxTask:
                 loss_d_fake = gan_loss(logits_fake, False, self.gan_mode)
                 loss_d_real = gan_loss(logits_real, True, self.gan_mode)
                 loss_d = loss_d_fake + loss_d_real  # no ×0.5 (pix2pix.py:206)
+                if self.legacy_halve_d_loss:
+                    loss_d = loss_d * 0.5
                 aux = {
                     "model_loss/discriminator_predFake": jnp.mean(logits_fake.astype(jnp.float32)),
                     "model_loss/discriminator_predReal": jnp.mean(logits_real.astype(jnp.float32)),

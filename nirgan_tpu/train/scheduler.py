@@ -11,7 +11,7 @@ the TrainState between steps, so no recompilation ever happens.
 
 from __future__ import annotations
 
-__all__ = ["ReduceLROnPlateau"]
+__all__ = ["ReduceLROnPlateau", "get_scheduler"]
 
 
 class ReduceLROnPlateau:
@@ -52,3 +52,47 @@ class ReduceLROnPlateau:
             self.cooldown_counter = self.cooldown
             return max(lr * self.factor, self.min_lr)
         return lr
+
+
+def get_scheduler(lr_policy: str, base_lr: float, *, n_epochs: int = 100,
+                  n_epochs_decay: int = 100, epoch_count: int = 1,
+                  lr_decay_iters: int = 50, plateau_patience: int = 5):
+    """Epoch-indexed LR policy dispatch mirroring the reference's
+    ``get_scheduler`` (``model/networks.py:39-65``): linear | step | plateau
+    | cosine.
+
+    Returns ``schedule(epoch [, metric]) -> lr`` — a plain callable the
+    trainer multiplies into the live LR scalars (plateau returns a stateful
+    object with the same call signature).
+    """
+    import math
+
+    if lr_policy == "linear":
+        def schedule(epoch, metric=None):
+            factor = 1.0 - max(0, epoch + epoch_count - n_epochs) / float(n_epochs_decay + 1)
+            return base_lr * factor
+
+        return schedule
+    if lr_policy == "step":
+        def schedule(epoch, metric=None):
+            return base_lr * (0.1 ** (epoch // lr_decay_iters))
+
+        return schedule
+    if lr_policy == "cosine":
+        def schedule(epoch, metric=None):
+            return base_lr * 0.5 * (1.0 + math.cos(math.pi * epoch / n_epochs))
+
+        return schedule
+    if lr_policy == "plateau":
+        # torch-in-reference wiring: mode='min', factor=0.2, threshold=0.01
+        plateau = ReduceLROnPlateau(mode="min", factor=0.2, threshold=0.01,
+                                    patience=plateau_patience)
+        current = {"lr": base_lr}
+
+        def schedule(epoch, metric=None):
+            if metric is not None:
+                current["lr"] = plateau.step(metric, current["lr"])
+            return current["lr"]
+
+        return schedule
+    raise NotImplementedError(f"learning rate policy [{lr_policy}] is not implemented")

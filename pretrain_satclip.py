@@ -1,0 +1,88 @@
+"""SatCLIP pretraining CLI — the runnable counterpart of the reference's
+(commented-out) LightningCLI driver in ``model/satclip/main.py:112-167``:
+contrastive training of the dual encoder over an S2Geo (image, location)
+dataset.
+
+    python pretrain_satclip.py --data data/s100k_npz --steps 10000
+    python pretrain_satclip.py --fake --steps 50        # smoke mode
+"""
+
+import argparse
+import json
+import time
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--data", default=None, help="folder of .npz tiles (image+point)")
+    p.add_argument("--fake", action="store_true", help="procedural smoke dataset")
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--image-size", type=int, default=256)
+    p.add_argument("--embed-dim", type=int, default=256)
+    p.add_argument("--vision", default="resnet", choices=["resnet", "vit"])
+    p.add_argument("--vision-width", type=int, default=64)
+    p.add_argument("--resnet-layers", type=int, nargs=4, default=(3, 4, 6, 3))
+    p.add_argument("--vit-layers", type=int, default=12)
+    p.add_argument("--le-type", default="sphericalharmonics")
+    p.add_argument("--pe-type", default="siren")
+    p.add_argument("--legendre-polys", type=int, default=10)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--out", default="logs/satclip_pretrain")
+    args = p.parse_args()
+
+    from nirgan_tpu.runtime import setup_runtime
+
+    setup_runtime()
+
+    from nirgan_tpu.data.pipeline import Loader
+    from nirgan_tpu.data.s2geo import FakeS2GeoDataset, S2GeoDataset
+    from nirgan_tpu.tasks.satclip_pretrain import SatClipPretrainTask
+    from nirgan_tpu.utils.loggers import ExperimentLogger
+
+    if args.fake or not args.data:
+        ds = FakeS2GeoDataset(length=max(args.batch_size * 4, 64),
+                              crop=args.image_size)
+        if not args.fake:
+            print("no --data given; using the procedural smoke dataset")
+    else:
+        ds = S2GeoDataset(args.data, crop=args.image_size)
+
+    vision_layers = (tuple(args.resnet_layers) if args.vision == "resnet"
+                     else args.vit_layers)
+    task = SatClipPretrainTask(
+        embed_dim=args.embed_dim, le_type=args.le_type, pe_type=args.pe_type,
+        legendre_polys=args.legendre_polys, vision_layers=vision_layers,
+        vision_width=args.vision_width, image_resolution=args.image_size,
+        learning_rate=args.lr)
+    state = task.init_state(seed=0)
+    step = task.make_train_step()
+    logger = ExperimentLogger(args.out, project="satclip_pretrain")
+
+    loader = Loader(ds, args.batch_size, shuffle=True, num_workers=4, drop_last=True)
+    n, t0 = 0, time.time()
+    while n < args.steps:
+        for batch in loader:
+            state, m = step(state, task.extract_batch(batch))
+            n += 1
+            if n % 10 == 0 or n == 1:
+                loss = float(m["train_loss"])
+                logger.log_metrics({"train_loss": loss}, n)
+                print(json.dumps({"step": n, "train_loss": round(loss, 4),
+                                  "elapsed_s": round(time.time() - t0, 1)}))
+            if n >= args.steps:
+                break
+
+    import orbax.checkpoint as ocp
+    import os
+    import jax
+
+    path = os.path.abspath(os.path.join(args.out, "satclip_ckpt"))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, jax.device_get(state.params), force=True)
+    ckptr.wait_until_finished()
+    print("saved params to", path)
+
+
+if __name__ == "__main__":
+    main()

@@ -36,6 +36,10 @@ def main():
     args.satclip = str2bool(args.satclip)
     args.baseline = str2bool(args.baseline)
 
+    from nirgan_tpu.runtime import setup_runtime
+
+    setup_runtime()
+
     from nirgan_tpu.config import load_config
 
     if args.config:
