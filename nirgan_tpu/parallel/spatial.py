@@ -1,0 +1,55 @@
+"""Spatial sharding for very large tiles — the conv-world analogue of
+context parallelism (SURVEY.md §5.7).
+
+The reference processes big scenes as independent tile streams
+(``create_synthetic_dataset.py:100-118``); a whole-scene pass at native
+resolution would not fit one accelerator.  TPU-natively a single huge tile
+is sharded along H across the mesh: every convolution then needs its
+neighbour rows at shard boundaries, and **GSPMD inserts exactly those halo
+exchanges** (collective-permutes over ICI) when the operand carries a
+spatial sharding — no hand-written ring code.  Instance-norm statistics
+(full-H×W reductions) become cross-shard all-reduces, also automatic.
+
+The result is bit-equal to the unsharded computation (asserted in
+tests/test_spatial_sharding.py), so one chip's memory ceiling stops being
+the scene-size ceiling.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+__all__ = ["spatial_predict_fn", "predict_large_tile"]
+
+
+def spatial_predict_fn(task, mesh, axis: str = "data"):
+    """Build a jitted (params, rgb_nhwc) → nir_nhwc whose activations are
+    H-sharded across ``axis``.  Params replicated; batch stays unsharded
+    (use the data axis for batch OR space, not both, on a 1-D mesh)."""
+    repl = NamedSharding(mesh, P())
+    rows = NamedSharding(mesh, P(None, axis, None, None))
+
+    def fn(params, rgb):
+        pred = task.g_apply(params, rgb.astype(task.compute_dtype), train=False)
+        return pred.astype(np.float32)
+
+    return jax.jit(fn, in_shardings=(repl, rows), out_shardings=rows), rows
+
+
+def predict_large_tile(task, params_g, rgb_nchw, mesh, axis: str = "data"):
+    """Run one (1, 3, H, W) tile H-sharded over the mesh; H must be a
+    multiple of 4·mesh_size (the generator's two stride-2 stages need even
+    splits per shard).  Returns (1, 1, H, W) numpy."""
+    n = mesh.shape[axis]
+    rgb = np.asarray(rgb_nchw, np.float32)
+    _, _, h, w = rgb.shape
+    if h % (4 * n) != 0:
+        raise ValueError(f"H={h} must be a multiple of {4 * n} "
+                         f"(4 × mesh '{axis}' size {n}) for spatial sharding")
+    x = np.transpose(rgb, (0, 2, 3, 1))
+    fn, rows = spatial_predict_fn(task, mesh, axis)
+    xd = jax.device_put(x, rows)
+    pred = fn(params_g, xd)
+    return np.transpose(np.asarray(pred), (0, 3, 1, 2))
