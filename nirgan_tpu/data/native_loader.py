@@ -1,0 +1,157 @@
+"""ctypes binding for the native tile pipeline (``native/tileio.cc``).
+
+Builds the shared library on first use (g++, cached under ``native/build``)
+and exposes ``NativeNpyDataset`` — a drop-in map-free iterable that decodes
+uint16-DN/f32 ``.npy`` RGBN tiles in C++ worker threads, bypassing Python in
+the decode path entirely.  Falls back to the numpy reader when no compiler
+is available (``available()`` gates usage).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Sequence
+
+import numpy as np
+
+__all__ = ["available", "NativeTileReader", "NativeNpyDataset"]
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(os.path.dirname(os.path.dirname(_HERE)), "native", "tileio.cc")
+_BUILD = os.path.join(os.path.dirname(_SRC), "build")
+_LIB_PATH = os.path.join(_BUILD, "libtileio.so")
+_lock = threading.Lock()
+_lib = None
+_build_failed = False
+
+
+def _load_lib():
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        try:
+            if not os.path.exists(_LIB_PATH) or (
+                    os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)):
+                os.makedirs(_BUILD, exist_ok=True)
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                     "-o", _LIB_PATH, _SRC, "-lpthread"],
+                    check=True, capture_output=True)
+            lib = ctypes.CDLL(_LIB_PATH)
+            lib.tileio_create.restype = ctypes.c_void_p
+            lib.tileio_create.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+                ctypes.c_float, ctypes.c_int, ctypes.c_int]
+            lib.tileio_next.restype = ctypes.c_int
+            lib.tileio_next.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int)]
+            lib.tileio_destroy.argtypes = [ctypes.c_void_p]
+            _lib = lib
+        except Exception as e:  # no compiler / build error → numpy fallback
+            print("native tileio unavailable:", e)
+            _build_failed = True
+        return _lib
+
+
+def available() -> bool:
+    return _load_lib() is not None
+
+
+class NativeTileReader:
+    """Stream (index, (C,crop,crop) float32) tiles decoded by C++ threads."""
+
+    def __init__(self, paths: Sequence[str], crop: int, channels: int = 4,
+                 dn_scale: float = 10000.0, n_threads: int = 4,
+                 capacity: int = 32):
+        lib = _load_lib()
+        if lib is None:
+            raise RuntimeError("native tileio library unavailable")
+        self._lib = lib
+        self._n = len(paths)
+        self._crop = crop
+        self._channels = channels
+        arr = (ctypes.c_char_p * self._n)(
+            *[os.fsencode(p) for p in paths])
+        self._paths_keepalive = arr
+        self._handle = lib.tileio_create(arr, self._n, crop,
+                                         ctypes.c_float(dn_scale),
+                                         n_threads, capacity)
+        self._buf = np.empty(channels * crop * crop, np.float32)
+        self._closed = False
+
+    def __iter__(self):
+        c_out = ctypes.c_int(0)
+        ptr = self._buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        while True:
+            idx = self._lib.tileio_next(self._handle, ptr, self._buf.size, ctypes.byref(c_out))
+            if idx == -1:
+                break
+            if idx == -2:
+                continue  # decode failure — skip tile (logged C-side)
+            ch = c_out.value
+            tile = self._buf[:ch * self._crop * self._crop].reshape(
+                ch, self._crop, self._crop).copy()
+            yield idx, tile
+
+    def close(self):
+        if not self._closed:
+            self._lib.tileio_destroy(self._handle)
+            self._closed = True
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class NativeNpyDataset:
+    """Batch iterable over a folder of RGBN ``.npy`` tiles using the native
+    reader; yields the universal batch dict.  (Epoch order is the shuffled
+    path order; within an epoch, batches arrive in decode-completion order —
+    an extra shuffle layer, fine for training.)"""
+
+    def __init__(self, base_path: str, image_size: int = 256,
+                 batch_size: int = 16, shuffle: bool = True, seed: int = 0,
+                 n_threads: int = 8, drop_last: bool = True):
+        self.paths = sorted(os.path.join(base_path, f)
+                            for f in os.listdir(base_path) if f.endswith(".npy"))
+        if not self.paths:
+            raise FileNotFoundError(f"no .npy tiles under {base_path!r}")
+        self.image_size = image_size
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.n_threads = n_threads
+        self.drop_last = drop_last
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.paths)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self):
+        order = np.arange(len(self.paths))
+        if self.shuffle:
+            np.random.default_rng(self.seed + self._epoch).shuffle(order)
+        self._epoch += 1
+        reader = NativeTileReader([self.paths[i] for i in order],
+                                  crop=self.image_size, n_threads=self.n_threads)
+        try:
+            buf = []
+            for _, tile in reader:
+                buf.append(tile)
+                if len(buf) == self.batch_size:
+                    batch = np.stack(buf)
+                    buf = []
+                    yield {"rgb": batch[:, :3], "nir": batch[:, 3:4]}
+            if buf and not self.drop_last:
+                batch = np.stack(buf)
+                yield {"rgb": batch[:, :3], "nir": batch[:, 3:4]}
+        finally:
+            reader.close()

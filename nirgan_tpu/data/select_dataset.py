@@ -61,17 +61,23 @@ def build_dataset(name: str, data_cfg, split: str = "train"):
 
 
 class DataModule:
-    """Train/val loader pair over the host pipeline."""
+    """Train/val loader pair over the host pipeline.  When a native train
+    iterable is attached (C++ tileio fast path), it replaces the Python
+    loader for training; validation always uses the Python loader."""
 
     def __init__(self, train_ds, val_ds, train_batch_size: int,
-                 val_batch_size: int, num_workers: int = 0, seed: int = 0):
+                 val_batch_size: int, num_workers: int = 0, seed: int = 0,
+                 native_train_iter=None):
         self.train_ds, self.val_ds = train_ds, val_ds
         self.train_batch_size = train_batch_size
         self.val_batch_size = val_batch_size
         self.num_workers = num_workers
         self.seed = seed
+        self.native_train_iter = native_train_iter
 
     def train_dataloader(self) -> Loader:
+        if self.native_train_iter is not None:
+            return self.native_train_iter
         return Loader(self.train_ds, self.train_batch_size, shuffle=True,
                       num_workers=self.num_workers, seed=self.seed, drop_last=True)
 
@@ -101,6 +107,24 @@ def dataset_selector(config, seed: int = 0) -> DataModule:
     if not any(n == "fake" for n in names):
         train_ds, val_base = _holdout_split(train_ds)
 
+    # optional C++ decode fast path (Data.native_loader: true) — applies to
+    # single .npy-folder datasets without coords
+    native_iter = None
+    if data_cfg.get("native_loader", False) and len(names) == 1 and names[0] != "fake":
+        st = data_cfg.get(_SETTINGS_KEY[names[0]], {})
+        base = st.get("base_path")
+        if base and not st.get("return_coords", False):
+            try:
+                from nirgan_tpu.data.native_loader import NativeNpyDataset, available
+
+                if available():
+                    native_iter = NativeNpyDataset(
+                        base, image_size=int(st.get("image_size", 256)),
+                        batch_size=int(data_cfg.train_batch_size), seed=seed,
+                        n_threads=int(data_cfg.get("num_workers", 8)))
+            except (FileNotFoundError, RuntimeError) as e:
+                print("native loader unavailable, using Python pipeline:", e)
+
     return DataModule(
         train_ds,
         val_base,
@@ -108,6 +132,7 @@ def dataset_selector(config, seed: int = 0) -> DataModule:
         val_batch_size=int(data_cfg.val_batch_size),
         num_workers=int(data_cfg.get("num_workers", 0)),
         seed=seed,
+        native_train_iter=native_iter,
     )
 
 

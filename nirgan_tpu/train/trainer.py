@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import datetime
 import os
+import signal
 import time
 from typing import Optional
 
@@ -87,6 +88,21 @@ class Trainer:
         self._train_step = task.make_train_step(mesh=self.mesh)
         self._eval_step = task.make_eval_step(mesh=self.mesh)
         self._profile_dir = os.environ.get("NIRGAN_PROFILE_DIR")
+        self._preempted = False
+
+    def _install_preemption_handler(self):
+        """TPU preemption arrives as SIGTERM; checkpoint 'last' at the next
+        step boundary and exit cleanly so resume picks up where we stopped
+        (the reference has no failure handling at all — SURVEY.md §5.3)."""
+
+        def handler(signum, frame):
+            self._preempted = True
+            print("SIGTERM received — checkpointing at next step boundary")
+
+        try:
+            signal.signal(signal.SIGTERM, handler)
+        except ValueError:
+            pass  # not in the main thread (e.g. under a test runner)
 
     # ----------------------------------------------------------------- state
     def _initial_state(self, image_size: int):
@@ -121,6 +137,7 @@ class Trainer:
         image_size = sample["rgb"].shape[-1]
         if state is None:
             state = self._initial_state(image_size)
+        self._install_preemption_handler()
 
         prepare = lambda b: shard_batch(self.mesh, self.task.extract_batch(b))
         step_no = int(jax.device_get(state.step))
@@ -150,6 +167,10 @@ class Trainer:
                         jax.device_get(state.lr_d))
                     self.logger.log_metrics(m, step_no)
                     t_window, n_window = time.perf_counter(), 0
+                if self._preempted:
+                    self.ckpt.save(state, {})
+                    print(f"preemption checkpoint written at step {step_no}")
+                    return state
                 if step_no >= self.max_steps:
                     break
 
