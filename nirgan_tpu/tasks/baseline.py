@@ -99,8 +99,9 @@ class BaselineTask:
                        donate_argnums=(0,))
 
     def make_eval_step(self, mesh=None):
-        def step(params, batch):
-            pred = self.model.apply({"params": params}, batch["rgb"].astype(self.compute_dtype))
+        def step(state, batch):
+            pred = self.model.apply({"params": state.params_g},
+                                    batch["rgb"].astype(self.compute_dtype))
             return pred.astype(jnp.float32), calculate_metrics(pred, batch["nir"], "val")
 
         if mesh is None:

@@ -120,6 +120,11 @@ class Px2PxTask:
         # port; the flag restores the legacy objective (SURVEY.md §2 row 18).
         self.legacy_halve_d_loss = bool(self.opt.get("legacy_halve_d_loss", False))
 
+        # batch-norm nets carry running stats; dropout needs an rng stream
+        # (reference supports norm: batch and no_dropout: false)
+        self.has_bn = self.opt.get("norm", "instance") == "batch"
+        self.uses_dropout = not self.opt.get("no_dropout", True)
+
         # --- padding (reference model/pix2pix.py:91-108)
         self.use_padding = bool(config.Data.padding)
         self.pad_amount = int(config.Data.padding_amount) if self.use_padding else 0
@@ -133,23 +138,51 @@ class Px2PxTask:
         self.satclip_scaling_factor = float(sc.get("scaling_factor", 1.0)) if self.satclip else 1.0
 
     # ------------------------------------------------------------- applies
-    def g_apply(self, params, rgb, embeds=None, train: bool = False):
+    def g_apply(self, params, rgb, embeds=None, train: bool = False,
+                stats=None, rng=None):
         """Reflect-pad → generator → crop (reference forward,
-        ``model/pix2pix.py:88-110``)."""
+        ``model/pix2pix.py:88-110``).  Stateless path (instance/none norm)."""
+        pred, _ = self._g_apply(params, rgb, embeds, train, stats, rng)
+        return pred
+
+    def _g_apply(self, params, rgb, embeds=None, train: bool = False,
+                 stats=None, rng=None):
+        """Full apply: returns (pred, new_batch_stats)."""
         x = rgb
         p = self.pad_amount
         if self.use_padding:
             x = reflect_pad2d(x, p)
-        if self.satclip and self.satclip_style == "inject":
-            pred = self.netG.apply({"params": params}, x, embeds, train=train)
+        variables = {"params": params}
+        if self.has_bn and stats:
+            variables["batch_stats"] = stats
+        rngs = ({"dropout": rng}
+                if (self.uses_dropout and train and rng is not None) else None)
+        args = (x, embeds) if self.satclip and self.satclip_style == "inject" else (x,)
+        if train and self.has_bn:
+            pred, mut = self.netG.apply(variables, *args, train=True,
+                                        mutable=["batch_stats"], rngs=rngs)
+            new_stats = mut["batch_stats"]
         else:
-            pred = self.netG.apply({"params": params}, x, train=train)
+            pred = self.netG.apply(variables, *args, train=train, rngs=rngs)
+            new_stats = stats if stats is not None else {}
         if self.use_padding:
             pred = pred[:, p:-p, p:-p, :]
-        return pred
+        return pred, new_stats
 
-    def d_apply(self, params, x, train: bool = False):
-        return self.netD.apply({"params": params}, x, train=train)
+    def d_apply(self, params, x, train: bool = False, stats=None):
+        logits, _ = self._d_apply(params, x, train, stats)
+        return logits
+
+    def _d_apply(self, params, x, train: bool = False, stats=None):
+        variables = {"params": params}
+        if self.has_bn and stats:
+            variables["batch_stats"] = stats
+        if train and self.has_bn:
+            logits, mut = self.netD.apply(variables, x, train=True,
+                                          mutable=["batch_stats"])
+            return logits, mut["batch_stats"]
+        return (self.netD.apply(variables, x, train=train),
+                stats if stats is not None else {})
 
     # --------------------------------------------------------------- init
     def init_state(self, seed: int = 0, image_size: int = 64) -> TrainState:
@@ -159,13 +192,15 @@ class Px2PxTask:
         x = jnp.zeros((1, image_size + 2 * self.pad_amount,
                        image_size + 2 * self.pad_amount, g_in))
         if self.satclip and self.satclip_style == "inject":
-            params_g = self.netG.init(kg, x, jnp.zeros((1, self.satclip_model.embed_dim)))["params"]
+            vg = self.netG.init(kg, x, jnp.zeros((1, self.satclip_model.embed_dim)))
         else:
-            params_g = self.netG.init(kg, x)["params"]
+            vg = self.netG.init(kg, x)
         d_in = g_in + self.opt.output_nc
-        params_d = self.netD.init(kd, jnp.zeros((1, image_size, image_size, d_in)))["params"]
-        return create_state(kr, params_g, params_d, lr=float(self.opt.lr),
-                            beta1=float(self.opt.beta1))
+        vd = self.netD.init(kd, jnp.zeros((1, image_size, image_size, d_in)))
+        return create_state(kr, vg["params"], vd["params"], lr=float(self.opt.lr),
+                            beta1=float(self.opt.beta1),
+                            stats_g=vg.get("batch_stats", {}),
+                            stats_d=vd.get("batch_stats", {}))
 
     # --------------------------------------------------------- train step
     def make_train_step(self, mesh=None):
@@ -184,18 +219,25 @@ class Px2PxTask:
             rgb = batch["rgb"].astype(self.compute_dtype)
             nir = batch["nir"]
             embeds = batch.get("embeds") if inject else None
+            rng, drop_rng = jax.random.split(state.rng)
 
             # --- single shared generator forward
-            pred, g_vjp = jax.vjp(
-                lambda pg: self.g_apply(pg, rgb, embeds, train=True), state.params_g)
+            pred, g_vjp, stats_g = jax.vjp(
+                lambda pg: self._g_apply(pg, rgb, embeds, train=True,
+                                         stats=state.stats_g, rng=drop_rng),
+                state.params_g, has_aux=True)
             pred_sg = jax.lax.stop_gradient(pred)
 
             # --- discriminator update (optimizer_idx 0; pix2pix.py:195-212)
+            # D runs in train mode on fake then real, so batch-norm stats
+            # update sequentially exactly as in torch.
             def d_loss_fn(params_d):
                 fake_ab = jnp.concatenate([rgb, pred_sg], axis=-1)
                 real_ab = jnp.concatenate([rgb, nir.astype(rgb.dtype)], axis=-1)
-                logits_fake = self.d_apply(params_d, fake_ab, train=True)
-                logits_real = self.d_apply(params_d, real_ab, train=True)
+                logits_fake, st1 = self._d_apply(params_d, fake_ab, train=True,
+                                                 stats=state.stats_d)
+                logits_real, st2 = self._d_apply(params_d, real_ab, train=True,
+                                                 stats=st1)
                 loss_d_fake = gan_loss(logits_fake, False, self.gan_mode)
                 loss_d_real = gan_loss(logits_real, True, self.gan_mode)
                 loss_d = loss_d_fake + loss_d_real  # no ×0.5 (pix2pix.py:206)
@@ -208,10 +250,10 @@ class Px2PxTask:
                     "model_loss/discriminator_real": loss_d_real,
                     "model_loss/discriminator_loss": loss_d,
                 }
-                return loss_d, aux
+                return loss_d, (aux, jax.lax.stop_gradient(st2))
 
-            (_, d_metrics), grads_d = jax.value_and_grad(d_loss_fn, has_aux=True)(
-                state.params_d)
+            (_, (d_metrics, stats_d)), grads_d = jax.value_and_grad(
+                d_loss_fn, has_aux=True)(state.params_d)
             upd_d, opt_d = tx_d.update(grads_d, state.opt_d, state.params_d)
             upd_d = jax.tree.map(lambda u: u * state.lr_d, upd_d)
             params_d = jax.tree.map(lambda p, u: p + u, state.params_d, upd_d)
@@ -220,7 +262,8 @@ class Px2PxTask:
             #     PL steps D first, so G's loss sees the new D)
             def g_loss_on_pred(pred_):
                 fake_ab = jnp.concatenate([rgb, pred_], axis=-1)
-                logits_fake = self.d_apply(params_d, fake_ab, train=True)
+                logits_fake, st3 = self._d_apply(params_d, fake_ab, train=True,
+                                                 stats=stats_d)
                 loss_g_gan = gan_loss(logits_fake, True, self.gan_mode)
                 loss_g_l1 = l1_loss(pred_, nir)
                 loss_g = loss_g_gan * self.lambda_gan + loss_g_l1 * self.lambda_l1
@@ -243,9 +286,11 @@ class Px2PxTask:
                     aux["model_loss/indices_loss_weighted"] = r
                     loss_g = loss_g + r * self.lambda_rs
                 aux["model_loss/generator_total_loss"] = loss_g
-                return loss_g, aux
+                # torch's G step runs D in train mode too → third stat update
+                return loss_g, (aux, jax.lax.stop_gradient(st3))
 
-            (_, g_metrics), dpred = jax.value_and_grad(g_loss_on_pred, has_aux=True)(pred)
+            (_, (g_metrics, stats_d_final)), dpred = jax.value_and_grad(
+                g_loss_on_pred, has_aux=True)(pred)
             (grads_g,) = g_vjp(dpred.astype(pred.dtype))
             upd_g, opt_g = tx_g.update(grads_g, state.opt_g, state.params_g)
             upd_g = jax.tree.map(lambda u: u * state.lr_g, upd_g)
@@ -261,7 +306,9 @@ class Px2PxTask:
             metrics = {k: v.astype(jnp.float32) for k, v in metrics.items()}
 
             new_state = state.replace(step=state.step + 1, params_g=params_g,
-                                      params_d=params_d, opt_g=opt_g, opt_d=opt_d)
+                                      params_d=params_d, opt_g=opt_g, opt_d=opt_d,
+                                      rng=rng, stats_g=stats_g,
+                                      stats_d=stats_d_final)
             return new_state, metrics
 
         if mesh is None:
@@ -279,10 +326,11 @@ class Px2PxTask:
     def make_eval_step(self, mesh=None):
         inject = self.satclip and self.satclip_style == "inject"
 
-        def step(params_g, batch):
+        def step(state, batch):
             rgb = batch["rgb"].astype(self.compute_dtype)
             embeds = batch.get("embeds") if inject else None
-            pred = self.g_apply(params_g, rgb, embeds, train=False)
+            pred = self.g_apply(state.params_g, rgb, embeds, train=False,
+                                stats=state.stats_g)
             metrics = calculate_metrics(pred, batch["nir"], phase="val")
             return pred.astype(jnp.float32), metrics
 
@@ -328,9 +376,10 @@ class Px2PxTask:
     def _predict_fn(self, H: int, W: int):
         inject = self.satclip and self.satclip_style == "inject"
 
-        def fn(params_g, rgb, embeds):
+        def fn(params_g, stats_g, rgb, embeds):
             pred = self.g_apply(params_g, rgb.astype(self.compute_dtype),
-                                embeds if inject else None, train=False)
+                                embeds if inject else None, train=False,
+                                stats=stats_g)
             return pred.astype(jnp.float32)
 
         return jax.jit(fn)
@@ -363,12 +412,14 @@ class Px2PxTask:
         if (h, w) != (size, size):
             x = jnp.pad(x, ((0, 0), (0, size - h), (0, size - w), (0, 0)), mode="reflect")
         pred = self._predict_fn(size, size)(
-            self._params_g, x, ex.get("embeds"))
+            self._params_g, self._stats_g, x, ex.get("embeds"))
         return np.asarray(nhwc_to_nchw(pred[:, :h, :w, :]))
 
     def bind(self, state_or_params) -> "Px2PxTask":
-        """Attach current generator params for the host predict API."""
+        """Attach current generator params (and batch stats) for the host
+        predict API."""
         self._params_g = getattr(state_or_params, "params_g", state_or_params)
+        self._stats_g = getattr(state_or_params, "stats_g", {})
         return self
 
     # ------------------------------------------------------------ weights

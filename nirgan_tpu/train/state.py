@@ -26,6 +26,9 @@ class TrainState:
     lr_g: jnp.ndarray
     lr_d: jnp.ndarray
     rng: Any
+    # running statistics for norm='batch' nets (empty dicts otherwise)
+    stats_g: Any = flax.struct.field(default_factory=dict)
+    stats_d: Any = flax.struct.field(default_factory=dict)
 
 
 def adam_for(params, beta1: float = 0.5):
@@ -35,7 +38,8 @@ def adam_for(params, beta1: float = 0.5):
                        optax.scale(-1.0))
 
 
-def create_state(rng, params_g, params_d, lr: float, beta1: float = 0.5) -> TrainState:
+def create_state(rng, params_g, params_d, lr: float, beta1: float = 0.5,
+                 stats_g=None, stats_d=None) -> TrainState:
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params_g=params_g,
@@ -45,6 +49,8 @@ def create_state(rng, params_g, params_d, lr: float, beta1: float = 0.5) -> Trai
         lr_g=jnp.asarray(lr, jnp.float32),
         lr_d=jnp.asarray(lr, jnp.float32),
         rng=rng,
+        stats_g=stats_g if stats_g is not None else {},
+        stats_d=stats_d if stats_d is not None else {},
     )
 
 

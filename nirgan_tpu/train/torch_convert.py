@@ -135,12 +135,17 @@ def convert_px2px_checkpoint(path_or_sd, config) -> dict:
     bc = config.base_configs
     out = {}
     if any(k.startswith("netG.") for k in sd):
-        out["params_g"] = convert_resnet_generator(
-            sd,
-            prefix="netG.",
-            n_blocks=9 if bc.netG == "resnet_9blocks" else 6,
-            use_dropout=not bc.no_dropout,
-        )
+        if bc.netG.startswith("unet"):
+            out["params_g"] = convert_unet_generator(
+                sd, prefix="netG.",
+                num_downs=7 if bc.netG == "unet_128" else 8)
+        else:
+            out["params_g"] = convert_resnet_generator(
+                sd,
+                prefix="netG.",
+                n_blocks=9 if bc.netG == "resnet_9blocks" else 6,
+                use_dropout=not bc.no_dropout,
+            )
     if any(k.startswith("netD.") for k in sd):
         if bc.netD == "pixel":
             out["params_d"] = convert_pixel_discriminator(sd, prefix="netD.")
@@ -149,3 +154,33 @@ def convert_px2px_checkpoint(path_or_sd, config) -> dict:
                 sd, prefix="netD.", n_layers=3 if bc.netD == "basic" else bc.n_layers_D
             )
     return out
+
+
+def convert_unet_generator(sd: Mapping[str, np.ndarray], prefix: str = "",
+                           num_downs: int = 8) -> dict:
+    """Map a torch ``UnetGenerator`` state_dict onto the flax tree.
+
+    Torch nests ``UnetSkipConnectionBlock``s recursively; each block's
+    Sequential indices depend on its role (``model/networks.py:504-530``):
+      outermost: [downconv(0), sub(1), uprelu, upconv(3), tanh]
+      middle:    [downrelu, downconv(1), downnorm, sub(3), uprelu, upconv(5),
+                  upnorm]  (instance norm ⇒ norm layers parameter-free)
+      innermost: [downrelu, downconv(1), uprelu, upconv(3), upnorm]
+    Our flax tree nests as {"unet": {"down", "up", "sub": {...}}}.
+    """
+
+    def walk(p: str, depth_below: int, outermost: bool) -> dict:
+        innermost = depth_below == 0
+        if outermost:
+            down_i, sub_i, up_i = 0, 1, 3
+        elif innermost:
+            down_i, sub_i, up_i = 1, None, 3
+        else:
+            down_i, sub_i, up_i = 1, 3, 5
+        out = {"down": _conv(sd, f"{p}model.{down_i}"),
+               "up": _convT(sd, f"{p}model.{up_i}")}
+        if sub_i is not None:
+            out["sub"] = walk(f"{p}model.{sub_i}.", depth_below - 1, False)
+        return out
+
+    return {"unet": walk(f"{prefix}model.", num_downs - 1, True)}

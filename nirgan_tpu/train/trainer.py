@@ -187,7 +187,7 @@ class Trainer:
             if i >= self.limit_val_batches:
                 break
             ex = shard_batch(self.mesh, self.task.extract_batch(batch))
-            pred, metrics = self._eval_step(state.params_g, ex)
+            pred, metrics = self._eval_step(state, ex)
             for k, v in metrics.items():
                 agg[k] = agg.get(k, 0.0) + float(jax.device_get(v))
             n_batches += 1

@@ -147,3 +147,22 @@ def test_init_statistics():
     assert abs(k.std() - 0.02) < 0.002
     assert abs(k.mean()) < 0.002
     assert np.all(np.asarray(params["r0"]["conv1"]["bias"]) == 0)
+
+
+@pytest.mark.parametrize("num_downs,netG,size", [(7, "unet_128", 128),
+                                                 (8, "unet_256", 256)])
+def test_unet_generator_parity(num_downs, netG, size):
+    from nirgan_tpu.train.torch_convert import convert_unet_generator
+
+    torch.manual_seed(4)
+    norm_layer = ref_networks.get_norm_layer("instance")
+    tnet = ref_networks.UnetGenerator(3, 1, num_downs, 8, norm_layer=norm_layer,
+                                      use_dropout=False).eval()
+    x = np.random.default_rng(4).standard_normal((1, size, size, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = tnet(torch.from_numpy(_nchw(x))).numpy()
+
+    jnet = define_G(3, 1, 8, netG, norm="instance")
+    params = convert_unet_generator(_sd(tnet), num_downs=num_downs)
+    out = jnet.apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(_nhwc(ref), np.asarray(out), rtol=1e-4, atol=2e-4)

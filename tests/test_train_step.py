@@ -115,7 +115,7 @@ def test_eval_step_and_predict():
     state = task.init_state(seed=0, image_size=32)
     ev = task.make_eval_step()
     ex = task.extract_batch(fake_batch())
-    pred, m = ev(state.params_g, ex)
+    pred, m = ev(state, ex)
     assert pred.shape == (4, 32, 32, 1)
     assert set(m) == {"val/L1", "val/L2", "val/PSNR", "val/SSIM"}
 
