@@ -12,6 +12,7 @@ compressed write, done by a background thread so IO overlaps compute.
 
 from __future__ import annotations
 
+import functools
 import os
 import queue
 import threading
@@ -39,9 +40,17 @@ def _writer_loop(q: "queue.Queue", out_path: str):
 def synthesize_dataset(task, dataset, out_path: str, batch_size: int = 8,
                        match_histograms: bool = True,
                        plot_every: int = 10, plot_dir: Optional[str] = None,
-                       num_workers: int = 4):
+                       num_workers: int = 4, num_writers: int = 4):
     """Run the generator over an LR/HR paired dataset and write synthetic
     NIR tiles (fp16 .npz, key ``nir`` — reference ``save_image``, ``:49-52``).
+
+    The whole per-batch compute — generator forward (with reflect-pad /
+    bucket handling), the reference's ×4-then-resize double interpolation of
+    the S2 NIR, sort-based histogram matching, and the fp16 cast — is ONE
+    jitted device program; the host sees only the final fp16 tiles.
+    Compressed writes run on a writer-thread pool, overlapped with compute
+    (the reference does skimage matching + writes serially on host,
+    ``create_synthetic_dataset.py:100-124``).
 
     ``task``: a bound Px2PxTask (``task.bind(state)`` done by the caller).
     ``dataset``: SRPairedDataset-like items {"lr","hr","s2_nir","coords","id"}.
@@ -52,36 +61,68 @@ def synthesize_dataset(task, dataset, out_path: str, batch_size: int = 8,
     loader = Loader(dataset, batch_size, shuffle=False, num_workers=num_workers,
                     drop_last=False)
 
-    q: queue.Queue = queue.Queue(maxsize=16)
-    writer = threading.Thread(target=_writer_loop, args=(q, out_path), daemon=True)
-    writer.start()
+    q: queue.Queue = queue.Queue(maxsize=64)
+    writers = [threading.Thread(target=_writer_loop, args=(q, out_path), daemon=True)
+               for _ in range(max(1, num_writers))]
+    for w in writers:
+        w.start()
 
-    @jax.jit
-    def _postprocess(pred_nhwc, s2_nir_nhwc):
-        # ×4 upsample then re-resize to prediction size (reference quirk)
-        up = resize_bilinear(s2_nir_nhwc, s2_nir_nhwc.shape[1] * 4,
-                             s2_nir_nhwc.shape[2] * 4)
-        up = resize_bilinear(up, pred_nhwc.shape[1], pred_nhwc.shape[2])
-        return histogram_match(pred_nhwc, up)
+    inject = task.satclip and task.satclip_style == "inject"
+
+    @functools.lru_cache(maxsize=8)
+    def fused(h: int, w: int, size: int):
+        def fn(params, stats, hr_nhwc, s2_nhwc, embeds):
+            x = hr_nhwc
+            if (h, w) != (size, size):
+                x = jnp.pad(x, ((0, 0), (0, size - h), (0, size - w), (0, 0)),
+                            mode="reflect")
+            pred = task.g_apply(params, x.astype(task.compute_dtype),
+                                embeds if inject else None, train=False,
+                                stats=stats)
+            pred = pred.astype(jnp.float32)[:, :h, :w, :]
+            if match_histograms:
+                up = resize_bilinear(s2_nhwc, s2_nhwc.shape[1] * 4,
+                                     s2_nhwc.shape[2] * 4)
+                up = resize_bilinear(up, h, w)  # double interpolation quirk
+                pred = histogram_match(pred, up)
+            return pred.astype(jnp.float16)
+
+        return jax.jit(fn)
 
     n_written = 0
-    for v, batch in enumerate(loader):
-        hr = batch["hr"]                      # (B,3,H,W)
-        s2 = batch["s2_nir"]                  # (B,1,h,w)
-        coords = batch.get("coords")
-        pred_nchw = task.predict_step(hr, coords if task.satclip else None)
-        pred = jnp.transpose(jnp.asarray(pred_nchw), (0, 2, 3, 1))
-        if match_histograms:
-            s2_nhwc = jnp.transpose(jnp.asarray(s2, jnp.float32), (0, 2, 3, 1))
-            pred = _postprocess(pred, s2_nhwc)
-        out = np.asarray(pred, np.float16).transpose(0, 3, 1, 2)
-        for im, tid in zip(out, batch["id"]):
+    pending = None  # overlap device compute with host pull of previous batch
+
+    def flush(item):
+        nonlocal n_written
+        dev, ids, batch, v = item
+        out = np.asarray(dev).transpose(0, 3, 1, 2)
+        for im, tid in zip(out, ids):
             q.put((tid, im))
             n_written += 1
         if plot_dir and v % plot_every == 0:
             _plot_example(batch, out, v, plot_dir)
-    q.put(None)
-    writer.join()
+
+    for v, batch in enumerate(loader):
+        hr = jnp.transpose(jnp.asarray(np.asarray(batch["hr"], np.float32)),
+                           (0, 2, 3, 1))
+        s2 = jnp.transpose(jnp.asarray(np.asarray(batch["s2_nir"], np.float32)),
+                           (0, 2, 3, 1))
+        embeds = None
+        if task.satclip:
+            embeds = jnp.asarray(task.satclip_model.predict(
+                np.asarray(batch["coords"], np.float32)))
+        h, w = hr.shape[1], hr.shape[2]
+        size = task.bucket_for(h, w)
+        dev = fused(h, w, size)(task._params_g, task._stats_g, hr, s2, embeds)
+        if pending is not None:
+            flush(pending)
+        pending = (dev, batch["id"], batch, v)
+    if pending is not None:
+        flush(pending)
+    for _ in writers:
+        q.put(None)
+    for w in writers:
+        w.join()
     return n_written
 
 

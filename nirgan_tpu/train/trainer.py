@@ -148,12 +148,20 @@ class Trainer:
         while step_no < self.max_steps:
             for ex in DeviceFeed(self.dm.train_dataloader(), prepare):
                 if self._profile_dir and step_no == 10:
-                    jax.profiler.start_trace(self._profile_dir)
+                    try:
+                        jax.profiler.start_trace(self._profile_dir)
+                    except Exception as e:  # backend may not support tracing
+                        print("profiler trace unavailable:", e)
+                        self._profile_dir = None
                 state, metrics = self._train_step(state, ex)
                 step_no += 1
                 n_window += batch_images
                 if self._profile_dir and step_no == 20:
-                    jax.profiler.stop_trace()
+                    try:
+                        jax.profiler.stop_trace()
+                    except Exception as e:
+                        print("profiler stop failed:", e)
+                    self._profile_dir = None
 
                 if step_no % self.log_every == 0:
                     m = {k: float(jax.device_get(v)) for k, v in metrics.items()}

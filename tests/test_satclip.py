@@ -142,3 +142,30 @@ def test_torch_state_dict_roundtrip():
     enc2 = LocationEncoder.from_torch_state_dict(sd)
     c = _coords(8, seed=6)
     np.testing.assert_allclose(enc.encode(c), enc2.encode(c), rtol=0, atol=0)
+
+
+def test_wrapper_loads_real_torch_ckpt(tmp_path):
+    """SatClipWrapper must read an actual Lightning-format .ckpt file:
+    hyper_parameters drive the architecture, state_dict the weights
+    (reference load.py:3-17 semantics)."""
+    import torch
+
+    enc = LocationEncoder.create(seed=9)
+    sd = {}
+    for i, (w, b) in enumerate(enc.weights[:-1]):
+        sd[f"model.location.nnet.layers.{i}.weight"] = torch.from_numpy(w.T.copy())
+        sd[f"model.location.nnet.layers.{i}.bias"] = torch.from_numpy(b.copy())
+    sd["model.location.nnet.last_layer.weight"] = torch.from_numpy(enc.weights[-1][0].T.copy())
+    sd["model.location.nnet.last_layer.bias"] = torch.from_numpy(enc.weights[-1][1].copy())
+    ckpt = {"hyper_parameters": {"harmonics_calculation": "analytic",
+                                 "legendre_polys": 10, "embed_dim": 256},
+            "state_dict": sd}
+    path = tmp_path / "satclip-test-l10.ckpt"
+    torch.save(ckpt, str(path))
+
+    from nirgan_tpu.models.satclip.wrapper import SatClipWrapper
+
+    wrapper = SatClipWrapper(str(path))
+    assert wrapper.loaded_from == str(path)
+    c = _coords(8, seed=10)
+    np.testing.assert_allclose(wrapper.predict(c), enc.encode(c), rtol=0, atol=0)
