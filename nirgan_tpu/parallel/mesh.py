@@ -63,3 +63,20 @@ def replicate(mesh: Mesh, tree):
     """Host arrays → device, fully replicated (params, opt state)."""
     s = replicated_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+
+
+def initialize_multihost(coordinator_address: str | None = None,
+                         num_processes: int | None = None,
+                         process_id: int | None = None) -> None:
+    """Multi-host bootstrap (SURVEY.md §2.9: the reference's multi-node story
+    is 'none'; TPU-natively it is one call).  On TPU pods the arguments are
+    discovered from the environment; pass them explicitly elsewhere.  Call
+    before ``create_mesh`` — ``jax.devices()`` then spans all hosts, gradient
+    all-reduces ride ICI within a slice and DCN across slices."""
+    import jax
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)

@@ -140,3 +140,26 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def unet_fixture():
+    """Extra fixture: unet_256 generator (ngf=8)."""
+    ref = load_reference_module("model/networks.py", "golden_ref_networks_u")
+    from nirgan_tpu.train.torch_convert import convert_unet_generator
+
+    rng = np.random.default_rng(7)
+    norm_layer = ref.get_norm_layer("instance")
+    torch.manual_seed(7)
+    net = ref.UnetGenerator(3, 1, 7, 4, norm_layer=norm_layer,
+                            use_dropout=False).eval()
+    x = rng.standard_normal((1, 3, 128, 128)).astype(np.float32)
+    with torch.no_grad():
+        y = net(torch.from_numpy(x)).numpy()
+    np.savez_compressed(
+        os.path.join(HERE, "unet_generator.npz"), x=x, y=y, ngf=4, num_downs=7,
+        **{"p:" + k: v for k, v in _flat(convert_unet_generator(_sd(net), num_downs=7)).items()})
+    print("unet fixture written")
+
+
+if __name__ == "__main__" and "--unet-only" in sys.argv:
+    unet_fixture()

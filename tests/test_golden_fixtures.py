@@ -87,3 +87,12 @@ def test_golden_rs_losses(criterion):
         ref = float(z[f"{criterion}:{name}"])
         out = float(getattr(obj, f"{name}_calculation")(rgb, nir, nirp))
         assert abs(ref - out) < 2e-5 * max(1.0, abs(ref)), (name, ref, out)
+
+
+def test_golden_unet_generator():
+    z = _load("unet_generator.npz")
+    net = define_G(3, 1, int(z["ngf"]),
+                   "unet_128" if int(z["num_downs"]) == 7 else "unet_256",
+                   norm="instance")
+    out = net.apply({"params": _params(z)}, jnp.asarray(_nhwc(z["x"])))
+    np.testing.assert_allclose(_nhwc(z["y"]), np.asarray(out), rtol=1e-4, atol=2e-4)
