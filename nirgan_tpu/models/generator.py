@@ -32,6 +32,7 @@ from nirgan_tpu.models.layers import (
     use_bias_for,
 )
 from nirgan_tpu.ops import initializers as inits
+from nirgan_tpu.ops.blocked_stem import conv_valid_blocked, stem_downsample_blocked
 from nirgan_tpu.ops.pad import reflect_pad2d
 from nirgan_tpu.ops.resize import resize_bilinear
 
@@ -109,6 +110,10 @@ class ResnetGenerator(nn.Module):
     kernel_init: Callable = inits.normal(0.02)
     compute_dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    # Space-to-depth stem (ops/blocked_stem.py): runs the channel-starved
+    # 7×7 stem and stride-2 d0 convs in 2×2 blocked layout (measured ~3×
+    # faster on TPU, math-identical).  Auto-falls back when inapplicable.
+    blocked_stem: bool = True
 
     @nn.compact
     def __call__(self, x, embeds: Optional[jnp.ndarray] = None, train: bool = False):
@@ -117,14 +122,32 @@ class ResnetGenerator(nn.Module):
         kw = dict(kernel_init=self.kernel_init, param_dtype=self.param_dtype)
         x = x.astype(self.compute_dtype)
 
-        # stem: reflect-pad 3 + 7×7 conv
-        h = _pad(x, "reflect", 3)
-        h = TorchConv(self.ngf, 7, use_bias=use_bias, name="c0", **kw)(h)
-        h = Norm(self.norm_type, name="n0")(h, train)
-        h = nn.relu(h)
+        c0 = TorchConv(self.ngf, 7, use_bias=use_bias, name="c0", **kw)
+        n0 = Norm(self.norm_type, name="n0")
+        d0 = TorchConv(self.ngf * 2, 3, stride=2, padding=1, use_bias=use_bias, name="d0", **kw)
 
-        # downsampling ×2
-        h = TorchConv(self.ngf * 2, 3, stride=2, padding=1, use_bias=use_bias, name="d0", **kw)(h)
+        use_blocked = (
+            self.blocked_stem
+            and self.norm_type == "instance"
+            and x.shape[1] % 2 == 0
+            and x.shape[2] % 2 == 0
+        )
+        if use_blocked:
+            # stem 7×7 conv → IN → ReLU → d0 conv, all in blocked layout;
+            # the full-res ngf-channel tensor is never materialised.
+            k7, b7 = c0(x, return_params=True)
+            # param-only call: only the trailing (channel) dim of the dummy
+            # is read, so d0's kernel gets its real Cin=ngf
+            k3, b3 = d0(jnp.zeros((1, 1, 1, self.ngf), x.dtype), return_params=True)
+            h = stem_downsample_blocked(_pad(x, "reflect", 3), k7, b7, k3, b3)
+        else:
+            # stem: reflect-pad 3 + 7×7 conv
+            h = _pad(x, "reflect", 3)
+            h = c0(h)
+            h = n0(h, train)
+            h = nn.relu(h)
+            # downsampling ×2
+            h = d0(h)
         h = Norm(self.norm_type, name="nd0")(h, train)
 
         if self.inject:
@@ -157,8 +180,19 @@ class ResnetGenerator(nn.Module):
         h = nn.relu(h)
 
         # head: reflect-pad 3 + 7×7 conv + tanh (bias always on, networks.py:367)
-        h = _pad(h, "reflect", 3)
-        h = TorchConv(self.output_nc, 7, use_bias=True, name="c1", **kw)(h)
+        c1 = TorchConv(self.output_nc, 7, use_bias=True, name="c1", **kw)
+        head_factor = 4 if (h.shape[1] % 4 == 0 and h.shape[2] % 4 == 0) else (
+            2 if (h.shape[1] % 2 == 0 and h.shape[2] % 2 == 0) else 1
+        )
+        if self.blocked_stem and head_factor > 1:
+            # Cout=1 starves the MXU (measured 47 ms of the 512² forward);
+            # run the conv in space-to-depth layout and interleave only the
+            # tiny 1-channel output (ops/blocked_stem.py).
+            kh_, bh_ = c1(h, return_params=True)
+            h = conv_valid_blocked(_pad(h, "reflect", 3), kh_, bh_, factor=head_factor)
+        else:
+            h = _pad(h, "reflect", 3)
+            h = c1(h)
         h = jnp.tanh(h)
 
         if self.inject and self.post_correction:

@@ -32,7 +32,7 @@ class TorchConv(nn.Module):
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_params: bool = False):
         cin = x.shape[-1]
         k = self.param(
             "kernel",
@@ -45,6 +45,10 @@ class TorchConv(nn.Module):
             if self.use_bias
             else None
         )
+        if return_params:
+            # Param-only access for fused-layout callers (ops/blocked_stem.py)
+            # — keeps the checkpoint-converter param paths unchanged.
+            return k, b
         return conv2d(x, k, b, stride=self.stride, padding=self.padding)
 
 

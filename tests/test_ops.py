@@ -6,6 +6,7 @@ import pytest
 import torch
 import torch.nn.functional as F
 
+import jax
 import jax.numpy as jnp
 
 from nirgan_tpu.ops import (
@@ -95,3 +96,92 @@ def test_resize_bicubic_matches_torch(out_hw):
                         align_corners=False).numpy()
     out = resize_bicubic(jnp.asarray(x), *out_hw)
     np.testing.assert_allclose(_nhwc(ref), np.asarray(out), rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("hw", [(32, 48), (276, 276)])
+def test_blocked_stem_matches_unblocked_chain(hw):
+    """ops/blocked_stem.py: space-to-depth stem→IN→ReLU→d0 pipeline is
+    math-identical to the unblocked op chain (fp reassociation only)."""
+    from nirgan_tpu.ops.blocked_stem import (
+        depth_to_space2,
+        space_to_depth2,
+        stem_downsample_blocked,
+    )
+    from nirgan_tpu.ops.conv import conv2d
+    from nirgan_tpu.ops.norm import instance_norm
+
+    rng = np.random.default_rng(11)
+    h, w = hw
+    x = jnp.asarray(rng.standard_normal((2, h + 6, w + 6, 3)).astype(np.float32))
+    k7 = jnp.asarray(rng.standard_normal((7, 7, 3, 16)).astype(np.float32)) * 0.1
+    b7 = jnp.asarray(rng.standard_normal((16,)).astype(np.float32)) * 0.1
+    k3 = jnp.asarray(rng.standard_normal((3, 3, 16, 32)).astype(np.float32)) * 0.1
+    b3 = jnp.asarray(rng.standard_normal((32,)).astype(np.float32)) * 0.1
+
+    ref = conv2d(x, k7, b7)
+    ref = instance_norm(ref)
+    ref = jnp.maximum(ref, 0)
+    ref = conv2d(ref, k3, b3, stride=2, padding=1)
+    got = stem_downsample_blocked(x, k7, b7, k3, b3)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), rtol=2e-5, atol=2e-5)
+
+    # round-trip of the layout transform itself
+    y = jnp.asarray(rng.standard_normal((1, 8, 10, 5)).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(depth_to_space2(space_to_depth2(y))), np.asarray(y))
+
+
+def test_blocked_stem_gradients_match():
+    """The blocked pipeline must also backprop identically (it is on the
+    training path of the generator)."""
+    from nirgan_tpu.ops.blocked_stem import stem_downsample_blocked
+    from nirgan_tpu.ops.conv import conv2d
+    from nirgan_tpu.ops.norm import instance_norm
+
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.standard_normal((1, 22, 22, 3)).astype(np.float32))
+    k7 = jnp.asarray(rng.standard_normal((7, 7, 3, 8)).astype(np.float32)) * 0.1
+    b7 = jnp.zeros((8,), jnp.float32)
+    k3 = jnp.asarray(rng.standard_normal((3, 3, 8, 16)).astype(np.float32)) * 0.1
+    b3 = jnp.zeros((16,), jnp.float32)
+
+    def loss_ref(k7, k3, x):
+        h = conv2d(x, k7, b7)
+        h = instance_norm(h)
+        h = jnp.maximum(h, 0)
+        return jnp.sum(jnp.square(conv2d(h, k3, b3, stride=2, padding=1)))
+
+    def loss_blk(k7, k3, x):
+        return jnp.sum(jnp.square(stem_downsample_blocked(x, k7, b7, k3, b3)))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(k7, k3, x)
+    g_blk = jax.grad(loss_blk, argnums=(0, 1, 2))(k7, k3, x)
+    for a, b in zip(g_ref, g_blk):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("factor,hw,cin,cout", [(4, (24, 32), 8, 1), (2, (18, 26), 8, 3), (4, (276, 276), 4, 1)])
+def test_conv_valid_blocked_matches_conv2d(factor, hw, cin, cout):
+    """ops/blocked_stem.py conv_valid_blocked: the space-to-depth head conv
+    equals the plain valid conv (and backprops identically)."""
+    from nirgan_tpu.ops.blocked_stem import conv_valid_blocked
+    from nirgan_tpu.ops.conv import conv2d
+
+    rng = np.random.default_rng(13)
+    h, w = hw
+    x = jnp.asarray(rng.standard_normal((2, h + 6, w + 6, cin)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((7, 7, cin, cout)).astype(np.float32)) * 0.1
+    b = jnp.asarray(rng.standard_normal((cout,)).astype(np.float32)) * 0.1
+    ref = conv2d(x, k, b)
+    got = conv_valid_blocked(x, k, b, factor=factor)
+    assert got.shape == ref.shape == (2, h, w, cout)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), rtol=2e-5, atol=2e-5)
+
+    g_ref = jax.grad(lambda k, x: jnp.sum(jnp.tanh(conv2d(x, k, b))), argnums=(0, 1))(k, x)
+    g_blk = jax.grad(lambda k, x: jnp.sum(jnp.tanh(conv_valid_blocked(x, k, b, factor=factor))),
+                     argnums=(0, 1))(k, x)
+    for a, bb in zip(g_ref, g_blk):
+        # grads accumulate over the whole image → large magnitudes; fp
+        # reassociation is the only allowed difference
+        scale = float(np.max(np.abs(np.asarray(a)))) + 1e-12
+        np.testing.assert_allclose(np.asarray(a) / scale, np.asarray(bb) / scale,
+                                   rtol=0, atol=1e-5)
