@@ -8,12 +8,12 @@ step), with the following stride-2 d0 conv at 15% (~11 ms).
 This module reformulates the `stem → instance-norm → relu → d0` prefix in a
 2×2 space-to-depth layout:
 
-  * the input (only 3 channels — cheap to reshuffle) is blocked once:
-    (B, H, W, 3) → (B, H/2, W/2, 12);
-  * the 7×7 stem conv becomes a 4×4 conv with Cin=12, Cout=4·64=256 — the
-    *output* stays blocked, so the full-resolution 64-channel tensor (the
-    2.2 GB reshuffle that sank round 1's subpixel experiment,
-    benchmarks/RESULTS.md) is never materialized;
+  * the 7×7 stem conv is run as a SINGLE stride-2 conv with an 8×8
+    "shifted-copies" kernel (Cout 64→256) whose output *is* the 2×2
+    space-to-depth of the stride-1 output — no layout transform ever runs,
+    and the full-resolution 64-channel tensor (the 2.2 GB reshuffle that
+    sank round 1's subpixel experiment, benchmarks/RESULTS.md) is never
+    materialized;
   * instance-norm statistics are computed exactly in blocked layout (blocking
     is a spatial permutation; per-channel moments are permutation-invariant:
     the four parity groups have equal pixel counts, so the full-res moment is
@@ -22,10 +22,11 @@ This module reformulates the `stem → instance-norm → relu → d0` prefix in 
     as a stride-1 2×2 conv with Cin=256, emitting the standard unblocked
     (B, H/2, W/2, 128) tensor the rest of the network expects.
 
-Everything is expressed as `lax.conv_general_dilated` + tiny kernel
-gather/scatters (constant-foldable), so XLA tiles the two convs onto the MXU
-with 4×–85× better contraction-lane occupancy.  Math is exactly equivalent to
-the unblocked ops (same sums, reordered) — unit-tested against them.
+The same strided-conv trick runs the 7×7 Cout=1 head conv
+(:func:`conv_valid_blocked`).  Everything is `lax.conv_general_dilated` +
+tiny constant-foldable kernel rearrangements, so XLA tiles the convs onto
+the MXU with far better contraction/output-lane occupancy.  Math is exactly
+equivalent to the unblocked ops (same sums, reordered) — unit-tested.
 
 Blocked channel ordering convention (everywhere): parity-major,
 ``blocked_channel = (qy * 2 + qx) * C + c``.
@@ -67,26 +68,18 @@ def depth_to_space2(x):
     return depth_to_space(x, 2)
 
 
-def _blocked_conv_kernel(k, f: int):
-    """Stride-1 kernel (kh,kw,Cin,Cout) → blocked kernel (T,T,f²Cin,f²Cout)
-    for a valid conv computed entirely in factor-``f`` blocked layout.
-
-    out[f·Y+p] = Σ_dy in[f·Y+p+dy]·w[dy]  with  p+dy = f·By+q
-    ⇒ blocked tap By ∈ [0, T) carries w[f·By+q−p] (zero outside [0,kh))."""
-    kh, cin, cout = k.shape[0], k.shape[2], k.shape[3]
-    t = (f + kh - 2) // f + 1
-    lo = f - 1
-    hi = f * (t - 1) + f - 1 - (kh - 1)
-    kp = jnp.pad(k, ((lo, hi), (lo, hi), (0, 0), (0, 0)))  # index dy+lo
-    bq = (
-        jnp.arange(t)[:, None, None] * f
-        + jnp.arange(f)[None, :, None]
-        - jnp.arange(f)[None, None, :]
-        + lo
-    )  # (By, q, p)
-    wb = kp[bq][:, :, :, bq]  # (By,q,p, Bx,qx,px, Cin, Cout)
-    wb = wb.transpose(0, 3, 1, 4, 6, 2, 5, 7)  # (By,Bx, q,qx,Cin, p,px,Cout)
-    return wb.reshape(t, t, f * f * cin, f * f * cout)
+def _strided_blocked_kernel(k, f: int):
+    """Stride-1 kernel (kh,kw,Cin,Cout) → (kh+f−1, kh+f−1, Cin, f²·Cout)
+    kernel whose stride-``f`` conv emits the factor-``f`` space-to-depth of
+    the stride-1 valid conv output:  W[j,·,c,(p,·,co)] = w[j−p,·,c,co]."""
+    return jnp.concatenate(
+        [
+            jnp.pad(k, ((py, f - 1 - py), (px, f - 1 - px), (0, 0), (0, 0)))
+            for py in range(f)
+            for px in range(f)
+        ],
+        axis=-1,
+    )
 
 
 def conv_valid_blocked(x_padded, k, bias=None, factor: int = 4):
@@ -111,16 +104,7 @@ def conv_valid_blocked(x_padded, k, bias=None, factor: int = 4):
     b, hp, wp, _ = x_padded.shape
     hout, wout = hp - kh + 1, wp - kh + 1
     assert hout % f == 0 and wout % f == 0, (hout, wout, f)
-    kd = k.astype(x_padded.dtype)
-    # W[j, jx, c, (py·f+px)·cout + co] = w[j−py, jx−px, c, co] (zero outside)
-    w_str = jnp.concatenate(
-        [
-            jnp.pad(kd, ((py, f - 1 - py), (px, f - 1 - px), (0, 0), (0, 0)))
-            for py in range(f)
-            for px in range(f)
-        ],
-        axis=-1,
-    )  # (kh+f-1, kh+f-1, Cin, f²·Cout)
+    w_str = _strided_blocked_kernel(k.astype(x_padded.dtype), f)
     y = lax.conv_general_dilated(
         x_padded, w_str,
         window_strides=(f, f), padding=((0, 0), (0, 0)),
@@ -129,12 +113,6 @@ def conv_valid_blocked(x_padded, k, bias=None, factor: int = 4):
     if bias is not None:
         y = y + jnp.tile(bias, f * f).astype(y.dtype)
     return depth_to_space(y, f)
-
-
-def _blocked_stem_kernel(k7):
-    """(7,7,Cin,Cout) stride-1 kernel → (4,4,4·Cin,4·Cout) blocked-2 kernel
-    (the f=2 instance of :func:`_blocked_conv_kernel`)."""
-    return _blocked_conv_kernel(k7, 2)
 
 
 def _blocked_down_kernel(k3):
@@ -181,10 +159,12 @@ def stem_downsample_blocked(x_padded, k7, b7, k3, b3, eps: float = 1e-5):
     numerically identical (up to fp reassociation) to the unblocked chain.
     """
     dt = x_padded.dtype
-    xb = space_to_depth2(x_padded)
+    # strided-conv form of the blocked stem: stride-2 conv with the
+    # shifted-copies 8×8 kernel — no explicit input s2d (measured ~1.2 ms
+    # cheaper than s2d + 4×4 blocked conv at 512² b32)
     h = lax.conv_general_dilated(
-        xb, _blocked_stem_kernel(k7.astype(dt)),
-        window_strides=(1, 1), padding=((0, 0), (0, 0)),
+        x_padded, _strided_blocked_kernel(k7.astype(dt), 2),
+        window_strides=(2, 2), padding=((0, 0), (0, 0)),
         dimension_numbers=_DIMSPEC,
     )
     if b7 is not None:
