@@ -28,6 +28,11 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from nirgan_tpu.models.satclip.timm_towers import (
+    PRETRAINED_TOWERS,
+    build_pretrained_tower,
+)
+
 __all__ = ["SatCLIP", "satclip_loss", "ModifiedResNet", "VisionTransformer",
            "AttentionPool2d", "SirenNet", "LocMLP", "FCNet", "get_neural_network"]
 
@@ -320,6 +325,12 @@ class SatCLIP(nn.Module):
                                          input_resolution=self.image_resolution,
                                          width=self.vision_width,
                                          in_channels=self.in_channels)
+        elif isinstance(self.vision_layers, str) and self.vision_layers in PRETRAINED_TOWERS:
+            # reference model.py:287-312: timm tower built for the SSL4EO
+            # MoCo weights (13-channel Sentinel-2), frozen except the head
+            # (freezing handled by the pretrain task's optimizer labels)
+            self.visual = build_pretrained_tower(self.vision_layers,
+                                                 self.embed_dim)
         else:
             heads = max(1, self.vision_width // 64)
             self.visual = VisionTransformer(

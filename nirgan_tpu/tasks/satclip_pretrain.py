@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import optax
 
 from nirgan_tpu.models.satclip.model import SatCLIP, satclip_loss
+from nirgan_tpu.models.satclip.timm_towers import PRETRAINED_TOWERS
 from nirgan_tpu.models.satclip.positional_encoding import get_positional_encoding
 from nirgan_tpu.parallel import batch_sharding, replicated_sharding
 
@@ -50,6 +51,23 @@ def _decay_mask(params):
     return jax.tree_util.tree_map_with_path(decide, params)
 
 
+def _frozen_tower_mask(head_name: str):
+    """True → parameter is frozen.  Mirrors the reference's
+    ``visual.requires_grad_(False)`` + head re-enable
+    (``model/satclip/model.py:291-312``): everything under ``visual/`` except
+    ``visual/<head_name>/``."""
+
+    def mask(params):
+        def decide(path, leaf):
+            names = [str(getattr(p, "key", "")) for p in path]
+            return bool(names and names[0] == "visual"
+                        and (len(names) < 2 or names[1] != head_name))
+
+        return jax.tree_util.tree_map_with_path(decide, params)
+
+    return mask
+
+
 class SatClipPretrainTask:
     def __init__(self, embed_dim: int = 256, le_type: str = "sphericalharmonics",
                  pe_type: str = "siren", legendre_polys: int = 10,
@@ -60,6 +78,12 @@ class SatClipPretrainTask:
                  in_channels: int = 4, capacity: int = 256,
                  num_hidden_layers: int = 2, learning_rate: float = 1e-4,
                  weight_decay: float = 0.01):
+        self.pretrained_head = None
+        if isinstance(vision_layers, str) and vision_layers in PRETRAINED_TOWERS:
+            # SSL4EO MoCo weights are 13-band Sentinel-2; the reference takes
+            # in_chans from weights.meta and ignores the config value
+            in_channels = 13
+            self.pretrained_head = PRETRAINED_TOWERS[vision_layers][1]
         self.posenc = get_positional_encoding(
             le_type, legendre_polys=legendre_polys,
             harmonics_calculation=harmonics_calculation,
@@ -91,9 +115,53 @@ class SatClipPretrainTask:
         batch_stats = variables.get("batch_stats", {})
         self._tx = optax.adamw(self.learning_rate, weight_decay=self.weight_decay,
                                mask=_decay_mask(params))
+        if self.pretrained_head is not None:
+            # frozen-except-head: zero the updates of the pretrained tower
+            self._tx = optax.chain(
+                self._tx,
+                optax.masked(optax.set_to_zero(),
+                             _frozen_tower_mask(self.pretrained_head)))
         return SatClipTrainState(step=jnp.zeros((), jnp.int32), params=params,
                                  batch_stats=batch_stats,
                                  opt=self._tx.init(params), rng=kr)
+
+    # --------------------------------------------------------------- weights
+    def load_tower_weights(self, state: "SatClipTrainState", path: str):
+        """Warm-start a ``moco_*`` vision tower from a timm/torchgeo SSL4EO
+        state_dict (reference ``load_state_dict(..., strict=False)``,
+        ``model/satclip/model.py:292``): present keys are merged, the fresh
+        head stays (MoCo checkpoints carry no classifier)."""
+        from nirgan_tpu.train.torch_convert import (
+            convert_timm_resnet,
+            convert_timm_vit,
+            load_torch_state_dict,
+        )
+
+        if self.pretrained_head is None:
+            raise ValueError("tower weights only apply to moco_* vision options")
+        sd = load_torch_state_dict(path)
+        if self.pretrained_head == "head":  # ViT
+            params, stats = convert_timm_vit(sd), {}
+        else:
+            layers = (2, 2, 2, 2) if "resnet18" in str(self.model.vision_layers) \
+                else (3, 4, 6, 3)
+            params, stats = convert_timm_resnet(sd, layers=layers)
+
+        def merge(dst, src):
+            out = dict(dst)
+            for k, v in src.items():
+                out[k] = merge(dst[k], v) if isinstance(v, dict) and k in dst else v
+            return out
+
+        new_params = dict(state.params)
+        new_params["visual"] = merge(state.params["visual"],
+                                     jax.tree.map(jnp.asarray, params))
+        new_stats = state.batch_stats
+        if stats:
+            new_stats = dict(state.batch_stats)
+            new_stats["visual"] = merge(state.batch_stats.get("visual", {}),
+                                        jax.tree.map(jnp.asarray, stats))
+        return state.replace(params=new_params, batch_stats=new_stats)
 
     # ----------------------------------------------------------------- batch
     def extract_batch(self, batch):

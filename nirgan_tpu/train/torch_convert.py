@@ -26,6 +26,8 @@ __all__ = [
     "convert_nlayer_discriminator",
     "convert_pixel_discriminator",
     "convert_px2px_checkpoint",
+    "convert_timm_resnet",
+    "convert_timm_vit",
 ]
 
 
@@ -154,6 +156,98 @@ def convert_px2px_checkpoint(path_or_sd, config) -> dict:
                 sd, prefix="netD.", n_layers=3 if bc.netD == "basic" else bc.n_layers_D
             )
     return out
+
+
+def _bn_split(sd: Mapping[str, np.ndarray], key: str):
+    """torch BatchNorm → (flax params, flax batch_stats)."""
+    return (
+        {"scale": sd[f"{key}.weight"], "bias": sd[f"{key}.bias"]},
+        {"mean": sd[f"{key}.running_mean"], "var": sd[f"{key}.running_var"]},
+    )
+
+
+def _ln(sd: Mapping[str, np.ndarray], key: str) -> dict:
+    return {"scale": sd[f"{key}.weight"], "bias": sd[f"{key}.bias"]}
+
+
+def convert_timm_resnet(sd: Mapping[str, np.ndarray], prefix: str = "",
+                        layers=(2, 2, 2, 2)):
+    """Map a timm/torchvision ``resnet18``/``resnet50`` state_dict (the
+    SSL4EO-MoCo weight layout the reference loads at
+    ``model/satclip/model.py:287-303``) onto
+    ``models/satclip/timm_towers.TimmResNet``.
+
+    Returns ``(params, batch_stats)``; a missing head (``strict=False`` in
+    the reference — MoCo checkpoints carry no fc) leaves ``fc`` absent.
+    """
+    p = prefix
+    params: dict = {"conv1": _conv(sd, f"{p}conv1")}
+    stats: dict = {}
+    params["bn1"], stats["bn1"] = _bn_split(sd, f"{p}bn1")
+    for stage, n in enumerate(layers):
+        for i in range(n):
+            tk = f"{p}layer{stage + 1}.{i}"
+            name = f"layer{stage + 1}_{i}"
+            bp: dict = {}
+            bs: dict = {}
+            for c in ("conv1", "conv2", "conv3"):
+                if f"{tk}.{c}.weight" in sd:
+                    bp[c] = _conv(sd, f"{tk}.{c}")
+                    bn = c.replace("conv", "bn")
+                    bp[bn], bs[bn] = _bn_split(sd, f"{tk}.{bn}")
+            if f"{tk}.downsample.0.weight" in sd:
+                bp["downsample_conv"] = _conv(sd, f"{tk}.downsample.0")
+                bp["downsample_bn"], bs["downsample_bn"] = _bn_split(
+                    sd, f"{tk}.downsample.1")
+            params[name] = bp
+            stats[name] = bs
+    if f"{p}fc.weight" in sd:
+        params["fc"] = _dense(sd, f"{p}fc")
+    return params, stats
+
+
+def convert_timm_vit(sd: Mapping[str, np.ndarray], prefix: str = "",
+                     depth: int = 12, num_patches: int = None) -> dict:
+    """Map a timm ``vit_small_patch16_224`` state_dict onto
+    ``models/satclip/timm_towers.TimmViT`` (reference
+    ``model/satclip/model.py:305-312``).
+
+    ``num_patches``: target grid size (e.g. 256 for 256² inputs at patch 16);
+    when it differs from the checkpoint's, the grid part of ``pos_embed`` is
+    bilinearly resampled (timm's ``resample_abs_pos_embed`` behaviour).
+    """
+    p = prefix
+    params: dict = {
+        "patch_embed_proj": _conv(sd, f"{p}patch_embed.proj"),
+        "cls_token": sd[f"{p}cls_token"],
+        "pos_embed": sd[f"{p}pos_embed"],
+    }
+    if num_patches is not None and num_patches != params["pos_embed"].shape[1] - 1:
+        import jax
+
+        pe = params["pos_embed"]
+        cls_pe, grid_pe = pe[:, :1], pe[:, 1:]
+        old = int(round(grid_pe.shape[1] ** 0.5))
+        new = int(round(num_patches ** 0.5))
+        grid = grid_pe.reshape(1, old, old, -1)
+        grid = np.asarray(jax.image.resize(grid, (1, new, new, grid.shape[-1]),
+                                           method="bilinear"))
+        params["pos_embed"] = np.concatenate(
+            [cls_pe, grid.reshape(1, new * new, -1)], axis=1)
+    for i in range(depth):
+        bk = f"{p}blocks.{i}"
+        params[f"blocks_{i}"] = {
+            "norm1": _ln(sd, f"{bk}.norm1"),
+            "attn_qkv": _dense(sd, f"{bk}.attn.qkv"),
+            "attn_proj": _dense(sd, f"{bk}.attn.proj"),
+            "norm2": _ln(sd, f"{bk}.norm2"),
+            "mlp_fc1": _dense(sd, f"{bk}.mlp.fc1"),
+            "mlp_fc2": _dense(sd, f"{bk}.mlp.fc2"),
+        }
+    params["norm"] = _ln(sd, f"{p}norm")
+    if f"{p}head.weight" in sd:
+        params["head"] = _dense(sd, f"{p}head")
+    return params
 
 
 def convert_unet_generator(sd: Mapping[str, np.ndarray], prefix: str = "",

@@ -20,7 +20,11 @@ def main():
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--image-size", type=int, default=256)
     p.add_argument("--embed-dim", type=int, default=256)
-    p.add_argument("--vision", default="resnet", choices=["resnet", "vit"])
+    p.add_argument("--vision", default="resnet",
+                   choices=["resnet", "vit", "moco_resnet18", "moco_resnet50",
+                            "moco_vit16"])
+    p.add_argument("--tower-weights", default=None,
+                   help="timm/torchgeo SSL4EO .pth to warm-start a moco_* tower")
     p.add_argument("--vision-width", type=int, default=64)
     p.add_argument("--resnet-layers", type=int, nargs=4, default=(3, 4, 6, 3))
     p.add_argument("--vit-layers", type=int, default=12)
@@ -40,22 +44,29 @@ def main():
     from nirgan_tpu.tasks.satclip_pretrain import SatClipPretrainTask
     from nirgan_tpu.utils.loggers import ExperimentLogger
 
-    if args.fake or not args.data:
-        ds = FakeS2GeoDataset(length=max(args.batch_size * 4, 64),
-                              crop=args.image_size)
-        if not args.fake:
-            print("no --data given; using the procedural smoke dataset")
+    if args.vision == "resnet":
+        vision_layers = tuple(args.resnet_layers)
+    elif args.vision == "vit":
+        vision_layers = args.vit_layers
     else:
-        ds = S2GeoDataset(args.data, crop=args.image_size)
-
-    vision_layers = (tuple(args.resnet_layers) if args.vision == "resnet"
-                     else args.vit_layers)
+        vision_layers = args.vision  # moco_* pretrained tower
     task = SatClipPretrainTask(
         embed_dim=args.embed_dim, le_type=args.le_type, pe_type=args.pe_type,
         legendre_polys=args.legendre_polys, vision_layers=vision_layers,
         vision_width=args.vision_width, image_resolution=args.image_size,
         learning_rate=args.lr)
+
+    if args.fake or not args.data:
+        ds = FakeS2GeoDataset(length=max(args.batch_size * 4, 64),
+                              crop=args.image_size, channels=task.in_channels)
+        if not args.fake:
+            print("no --data given; using the procedural smoke dataset")
+    else:
+        ds = S2GeoDataset(args.data, crop=args.image_size)
+
     state = task.init_state(seed=0)
+    if args.tower_weights:
+        state = task.load_tower_weights(state, args.tower_weights)
     step = task.make_train_step()
     logger = ExperimentLogger(args.out, project="satclip_pretrain")
 
