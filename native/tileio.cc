@@ -3,9 +3,11 @@
 // The reference's host-side input parallelism is torch DataLoader workers
 // (configs/config_px2px.yaml:82-84, SURVEY.md §2.9 row 5): Python processes
 // decoding rasters.  This is the native equivalent: a C++ thread pool that
-// reads .npy tiles (uint16 DN or float32 reflectance, CHW), converts
-// DN/10000 → float32, center-crops, and hands fixed-size buffers to Python
-// through a bounded queue — zero Python in the decode path, GIL never held.
+// reads .npy tiles (uint16 DN or float32 reflectance, CHW) and baseline
+// GeoTIFFs (striped/tiled, chunky/planar, u8/u16/f32 — the contract of
+// /root/reference/data/SR_dataset_RGB.py), converts DN/10000 → float32,
+// center-crops, and hands fixed-size buffers to Python through a bounded
+// queue — zero Python in the decode path, GIL never held.
 //
 // Build:  g++ -O3 -march=native -shared -fPIC -o libtileio.so tileio.cc -lpthread
 // ABI: C, driven via ctypes (nirgan_tpu/data/native_loader.py).
@@ -88,6 +90,156 @@ bool read_npy_chw(const std::string& path, std::vector<float>& out,
   return true;
 }
 
+// ---------------------------------------------------------------- TIFF I/O
+//
+// Baseline classic TIFF (both byte orders), uncompressed, striped or tiled,
+// chunky or planar, uint8/uint16/float32 samples — the C++ twin of the
+// reference-implementation reader in nirgan_tpu/data/geotiff.py (which owns
+// the geo-key handling; this decode path only needs pixels).
+
+struct TiffTag {
+  uint16_t type = 0;
+  std::vector<uint64_t> ivals;  // integral values
+};
+
+static uint16_t rd16(const unsigned char* p, bool be) {
+  return be ? (p[0] << 8) | p[1] : (p[1] << 8) | p[0];
+}
+static uint32_t rd32(const unsigned char* p, bool be) {
+  return be ? (uint32_t(p[0]) << 24) | (p[1] << 16) | (p[2] << 8) | p[3]
+            : (uint32_t(p[3]) << 24) | (p[2] << 16) | (p[1] << 8) | p[0];
+}
+
+bool read_tiff_chw(const std::string& path, std::vector<float>& out,
+                   int* C, int* H, int* W, float dn_scale) {
+  FILE* f = std::fopen(path.c_str(), "rb");
+  if (!f) return false;
+  std::fseek(f, 0, SEEK_END);
+  long sz = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  std::vector<unsigned char> buf(sz);
+  if (std::fread(buf.data(), 1, sz, f) != size_t(sz)) { std::fclose(f); return false; }
+  std::fclose(f);
+  if (sz < 8) return false;
+  bool be;
+  if (buf[0] == 'I' && buf[1] == 'I') be = false;
+  else if (buf[0] == 'M' && buf[1] == 'M') be = true;
+  else return false;
+  if (rd16(&buf[2], be) != 42) return false;
+
+  uint32_t ifd = rd32(&buf[4], be);
+  if (ifd + 2 > uint32_t(sz)) return false;
+  uint16_t n_entries = rd16(&buf[ifd], be);
+  static const int kTypeSize[13] = {0, 1, 1, 2, 4, 8, 1, 1, 2, 4, 8, 4, 8};
+
+  auto get = [&](int want_tag, TiffTag* t) -> bool {
+    for (int i = 0; i < n_entries; ++i) {
+      const unsigned char* e = &buf[ifd + 2 + 12 * i];
+      if (rd16(e, be) != want_tag) continue;
+      uint16_t type = rd16(e + 2, be);
+      uint32_t count = rd32(e + 4, be);
+      if (type < 1 || type > 12) return false;
+      uint32_t size = kTypeSize[type] * count;
+      const unsigned char* v = size <= 4 ? e + 8 : &buf[rd32(e + 8, be)];
+      t->type = type;
+      t->ivals.resize(count);
+      for (uint32_t k = 0; k < count; ++k) {
+        const unsigned char* p = v + size_t(k) * kTypeSize[type];
+        switch (type) {
+          case 1: t->ivals[k] = *p; break;
+          case 3: t->ivals[k] = rd16(p, be); break;
+          case 4: t->ivals[k] = rd32(p, be); break;
+          default: t->ivals[k] = 0;
+        }
+      }
+      return true;
+    }
+    return false;
+  };
+  auto get1 = [&](int tag, uint64_t dflt) -> uint64_t {
+    TiffTag t;
+    return get(tag, &t) && !t.ivals.empty() ? t.ivals[0] : dflt;
+  };
+
+  int width = int(get1(256, 0)), height = int(get1(257, 0));
+  int spp = int(get1(277, 1)), bps = int(get1(258, 1));
+  int comp = int(get1(259, 1)), planar = int(get1(284, 1));
+  int sfmt = int(get1(339, 1));
+  if (!width || !height || comp != 1) return false;
+  bool is_f32 = (sfmt == 3 && bps == 32);
+  bool is_u16 = (sfmt == 1 && bps == 16);
+  bool is_u8 = (sfmt == 1 && bps == 8);
+  if (!is_f32 && !is_u16 && !is_u8) return false;
+  int item = bps / 8;
+
+  auto sample = [&](const unsigned char* p) -> float {
+    if (is_u8) return float(*p);
+    if (is_u16) return float(rd16(p, be));
+    uint32_t bits = rd32(p, be);
+    float v;
+    std::memcpy(&v, &bits, 4);
+    return v;
+  };
+  float scale = 1.0f;
+  if ((is_u8 || is_u16) && dn_scale > 0) scale = 1.0f / dn_scale;
+
+  out.assign(size_t(spp) * height * width, 0.0f);
+  TiffTag tile_offs;
+  if (get(324, &tile_offs)) {  // tiled
+    int tw = int(get1(322, 0)), tl = int(get1(323, 0));
+    if (!tw || !tl) return false;
+    int tiles_x = (width + tw - 1) / tw, tiles_y = (height + tl - 1) / tl;
+    int per = tiles_x * tiles_y;
+    for (size_t t = 0; t < tile_offs.ivals.size(); ++t) {
+      uint64_t off = tile_offs.ivals[t];
+      int c0 = planar == 2 ? int(t) / per : 0;
+      int rem = planar == 2 ? int(t) % per : int(t);
+      int ty = rem / tiles_x, tx = rem % tiles_x;
+      int csz = planar == 2 ? 1 : spp;
+      for (int y = 0; y < tl && ty * tl + y < height; ++y)
+        for (int x = 0; x < tw && tx * tw + x < width; ++x)
+          for (int c = 0; c < csz; ++c) {
+            const unsigned char* p =
+                &buf[off + (size_t(y) * tw + x) * csz * item + size_t(c) * item];
+            out[(size_t(c0 + c) * height + ty * tl + y) * width + tx * tw + x] =
+                sample(p) * scale;
+          }
+    }
+  } else {  // striped
+    TiffTag offs;
+    if (!get(273, &offs)) return false;
+    int rps = int(get1(278, height));
+    int strips_per_plane = (height + rps - 1) / rps;
+    for (size_t s = 0; s < offs.ivals.size(); ++s) {
+      uint64_t off = offs.ivals[s];
+      int c0 = planar == 2 ? int(s) / strips_per_plane : 0;
+      int row0 = (planar == 2 ? int(s) % strips_per_plane : int(s)) * rps;
+      int csz = planar == 2 ? 1 : spp;
+      for (int y = 0; y + row0 < height && y < rps; ++y)
+        for (int x = 0; x < width; ++x)
+          for (int c = 0; c < csz; ++c) {
+            const unsigned char* p =
+                &buf[off + (size_t(y) * width + x) * csz * item + size_t(c) * item];
+            out[(size_t(c0 + c) * height + row0 + y) * width + x] =
+                sample(p) * scale;
+          }
+    }
+  }
+  *C = spp; *H = height; *W = width;
+  return true;
+}
+
+bool has_suffix(const std::string& s, const char* suf) {
+  size_t n = std::strlen(suf);
+  if (s.size() < n) return false;
+  for (size_t i = 0; i < n; ++i) {
+    char a = s[s.size() - n + i], b = suf[i];
+    if (a >= 'A' && a <= 'Z') a += 32;
+    if (a != b) return false;
+  }
+  return true;
+}
+
 void center_crop_chw(const std::vector<float>& in, int C, int H, int W,
                      int crop, std::vector<float>& out) {
   int y0 = (H - crop) / 2, x0 = (W - crop) / 2;
@@ -126,7 +278,10 @@ struct Pipeline {
       t.index = int(i);
       std::vector<float> raw;
       int C, H, W;
-      if (read_npy_chw(paths[i], raw, &C, &H, &W, dn_scale)) {
+      bool ok = (has_suffix(paths[i], ".tif") || has_suffix(paths[i], ".tiff"))
+                    ? read_tiff_chw(paths[i], raw, &C, &H, &W, dn_scale)
+                    : read_npy_chw(paths[i], raw, &C, &H, &W, dn_scale);
+      if (ok) {
         int c2 = crop <= H && crop <= W ? crop : (H < W ? H : W);
         center_crop_chw(raw, C, H, W, c2, t.data);
         t.channels = C;

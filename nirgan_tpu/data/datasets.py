@@ -148,9 +148,14 @@ class NpzFolderDataset:
 class GeoTiffFolderDataset:
     """Folder of 4-band GeoTIFFs (R,G,B,NIR uint16 DN).  Serves the
     S2_75k / S2_100k / L8_15k / SEN2NAIP / worldstrat settings blocks
-    (config keys at ``configs/config_px2px_SatCLIP.yaml:117-150``).  Needs
-    rasterio (coords from the raster CRS) or tifffile (no coords); raises a
-    clear error if neither is importable."""
+    (config keys at ``configs/config_px2px_SatCLIP.yaml:117-150``).
+
+    Reading uses rasterio when installed (arbitrary CRS/compression via
+    GDAL); otherwise the built-in no-deps reader
+    (``nirgan_tpu/data/geotiff.py``: baseline striped/tiled TIFF, UTM or
+    WGS84 coords) — so the GeoTIFF contract of the reference
+    (``data/SR_dataset_RGB.py:29-43``: 4-band read, DN/10000,
+    centroid→EPSG:4326) works everywhere."""
 
     def __init__(self, base_path: str, image_size: int = 256,
                  return_coords: bool = False, dn_scale: float = 10000.0):
@@ -164,21 +169,12 @@ class GeoTiffFolderDataset:
             if f.lower().endswith((".tif", ".tiff")))
         if not self.files:
             raise FileNotFoundError(f"no GeoTIFFs under {base_path!r}")
-        self._backend = None
         try:
             import rasterio  # noqa: F401
 
             self._backend = "rasterio"
         except ImportError:
-            try:
-                import tifffile  # noqa: F401
-
-                self._backend = "tifffile"
-            except ImportError:
-                raise ImportError(
-                    "GeoTiffFolderDataset needs rasterio or tifffile; neither "
-                    "is installed. Convert tiles to .npz (see NpzFolderDataset) "
-                    "or install a reader.")
+            self._backend = "builtin"
 
     def __len__(self):
         return len(self.files)
@@ -199,12 +195,12 @@ class GeoTiffFolderDataset:
                 except Exception:
                     pass
         else:
-            import tifffile
+            from nirgan_tpu.data.geotiff import centroid_lonlat, read_geotiff
 
-            img = tifffile.imread(path)
-            if img.ndim == 3 and img.shape[-1] <= 8:  # HWC → CHW
-                img = np.transpose(img, (2, 0, 1))
-            img = img.astype(np.float32) / self.dn_scale
+            img, meta = read_geotiff(path, dn_scale=self.dn_scale)
+            ll = centroid_lonlat(meta)
+            if ll is not None:
+                coords = ll
         item = {"rgb": center_crop_chw(img[:3], self.image_size),
                 "nir": center_crop_chw(img[3:4], self.image_size)}
         if self.return_coords:
@@ -256,12 +252,10 @@ class SRPairedDataset:
             coords = np.asarray(z["coords"], np.float32) if hasattr(z, "files") and "coords" in z else None
             img = np.asarray(img)
         else:
-            import tifffile
+            from nirgan_tpu.data.geotiff import centroid_lonlat, read_geotiff
 
-            img = tifffile.imread(path)
-            if img.ndim == 3 and img.shape[-1] <= 8:
-                img = np.transpose(img, (2, 0, 1))
-            coords = None
+            img, meta = read_geotiff(path)
+            coords = centroid_lonlat(meta)  # reference SR_dataset_RGB.py:31-37
         if img.dtype.kind in "ui":
             img = img.astype(np.float32) / self.dn_scale
         return img.astype(np.float32), coords

@@ -1,0 +1,345 @@
+"""Self-contained GeoTIFF I/O (no rasterio/GDAL).
+
+The reference's only surviving disk loader is rasterio-based
+(``/root/reference/data/SR_dataset_RGB.py:29-43``: 4-band uint16 read,
+DN/10000, centroid → EPSG:4326).  Neither rasterio nor tifffile exists in
+this image, so this module implements the needed subset directly:
+
+  * :func:`read_geotiff` — classic (non-Big) TIFF, both byte orders,
+    uncompressed, striped or tiled, chunky or planar, uint8/uint16/float32
+    samples; returns a CHW array plus the georeferencing
+    (``ModelPixelScaleTag``/``ModelTiepointTag``) and the EPSG code from the
+    ``GeoKeyDirectoryTag``.
+  * :func:`write_geotiff` — minimal striped chunky writer (used by tests and
+    dataset-synthesis tooling).
+  * :func:`centroid_lonlat` — raster centroid → (lon, lat) in EPSG:4326.
+    UTM zones (EPSG 326xx/327xx) are inverted with a WGS84 transverse
+    Mercator series (sub-millimetre vs PROJ for in-zone points); EPSG 4326
+    passes through.  This covers every CRS the reference datasets use
+    (Sentinel-2/Landsat tiles are UTM; coords feed a ~100 km-scale location
+    encoder, so series-order error is irrelevant).
+
+A C++ twin of the read path lives in ``native/tileio.cc`` for the threaded
+input pipeline; this module is the reference implementation both are tested
+against.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+__all__ = ["read_geotiff", "write_geotiff", "centroid_lonlat", "utm_to_lonlat"]
+
+# TIFF tag ids
+_IMAGE_WIDTH = 256
+_IMAGE_LENGTH = 257
+_BITS_PER_SAMPLE = 258
+_COMPRESSION = 259
+_STRIP_OFFSETS = 273
+_SAMPLES_PER_PIXEL = 277
+_ROWS_PER_STRIP = 278
+_STRIP_BYTE_COUNTS = 279
+_PLANAR_CONFIG = 284
+_TILE_WIDTH = 322
+_TILE_LENGTH = 323
+_TILE_OFFSETS = 324
+_TILE_BYTE_COUNTS = 325
+_SAMPLE_FORMAT = 339
+_MODEL_PIXEL_SCALE = 33550
+_MODEL_TIEPOINT = 33922
+_GEO_KEY_DIRECTORY = 34735
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
+               11: 4, 12: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d"}
+
+
+def _read_ifd(buf: bytes, bo: str) -> Dict[int, tuple]:
+    (ifd_off,) = struct.unpack(bo + "I", buf[4:8])
+    (n_entries,) = struct.unpack(bo + "H", buf[ifd_off:ifd_off + 2])
+    tags: Dict[int, tuple] = {}
+    for i in range(n_entries):
+        e = ifd_off + 2 + 12 * i
+        tag, typ, count = struct.unpack(bo + "HHI", buf[e:e + 8])
+        if typ not in _TYPE_FMT:
+            continue
+        size = _TYPE_SIZES[typ] * count
+        if size <= 4:
+            raw = buf[e + 8:e + 8 + size]
+        else:
+            (off,) = struct.unpack(bo + "I", buf[e + 8:e + 12])
+            raw = buf[off:off + size]
+        if typ == 5:  # RATIONAL — unused by us
+            continue
+        vals = struct.unpack(bo + str(count) + _TYPE_FMT[typ], raw)
+        tags[tag] = vals
+    return tags
+
+
+def read_geotiff(path: str, dn_scale: Optional[float] = None):
+    """Returns ``(img_chw float32, meta)``.
+
+    ``meta``: dict with optional keys ``pixel_scale`` (sx, sy), ``tiepoint``
+    (i, j, k, x, y, z), ``epsg`` (int), ``width``, ``height``.
+    ``dn_scale``: when given, integer samples are divided by it (the
+    reference's DN/10000); float inputs pass through unscaled.
+    """
+    with open(path, "rb") as f:
+        buf = f.read()
+    if buf[:2] == b"II":
+        bo = "<"
+    elif buf[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError(f"{path}: not a TIFF")
+    (magic,) = struct.unpack(bo + "H", buf[2:4])
+    if magic != 42:
+        raise ValueError(f"{path}: unsupported TIFF variant (magic={magic})")
+    tags = _read_ifd(buf, bo)
+
+    width = tags[_IMAGE_WIDTH][0]
+    height = tags[_IMAGE_LENGTH][0]
+    spp = tags.get(_SAMPLES_PER_PIXEL, (1,))[0]
+    bps = tags.get(_BITS_PER_SAMPLE, (1,))[0]
+    comp = tags.get(_COMPRESSION, (1,))[0]
+    planar = tags.get(_PLANAR_CONFIG, (1,))[0]
+    sfmt = tags.get(_SAMPLE_FORMAT, (1,))[0]
+    if comp != 1:
+        raise ValueError(f"{path}: compressed TIFF (compression={comp}) not supported")
+    dtype = {(1, 8): np.uint8, (1, 16): np.uint16, (1, 32): np.uint32,
+             (2, 16): np.int16, (2, 32): np.int32,
+             (3, 32): np.float32, (3, 64): np.float64}.get((sfmt, bps))
+    if dtype is None:
+        raise ValueError(f"{path}: unsupported sample format/bits ({sfmt}, {bps})")
+    dt = np.dtype(dtype).newbyteorder(bo)
+
+    if _TILE_OFFSETS in tags:
+        tw, tl = tags[_TILE_WIDTH][0], tags[_TILE_LENGTH][0]
+        offs, counts = tags[_TILE_OFFSETS], tags[_TILE_BYTE_COUNTS]
+        tiles_x = (width + tw - 1) // tw
+        tiles_y = (height + tl - 1) // tl
+        if planar == 1:
+            img = np.zeros((height, width, spp), dt.base)
+            for t, off in enumerate(offs):
+                ty, tx = divmod(t, tiles_x)
+                tile = np.frombuffer(buf, dt, tl * tw * spp, off).reshape(tl, tw, spp)
+                y0, x0 = ty * tl, tx * tw
+                img[y0:y0 + tl, x0:x0 + tw] = tile[:height - y0, :width - x0]
+            chw = np.transpose(img, (2, 0, 1))
+        else:  # planar == 2: tiles per channel plane
+            per = tiles_x * tiles_y
+            chw = np.zeros((spp, height, width), dt.base)
+            for t, off in enumerate(offs):
+                c, rem = divmod(t, per)
+                ty, tx = divmod(rem, tiles_x)
+                tile = np.frombuffer(buf, dt, tl * tw, off).reshape(tl, tw)
+                y0, x0 = ty * tl, tx * tw
+                chw[c, y0:y0 + tl, x0:x0 + tw] = tile[:height - y0, :width - x0]
+    else:
+        offs, counts = tags[_STRIP_OFFSETS], tags[_STRIP_BYTE_COUNTS]
+        rps = tags.get(_ROWS_PER_STRIP, (height,))[0]
+        if planar == 1:
+            rows = []
+            for off, cnt in zip(offs, counts):
+                rows.append(np.frombuffer(buf, dt, cnt // dt.itemsize, off))
+            flat = np.concatenate(rows).reshape(height, width, spp)
+            chw = np.transpose(flat, (2, 0, 1))
+        else:  # planar == 2: strips run through channel planes in order
+            strips_per_plane = (height + rps - 1) // rps
+            planes = []
+            for c in range(spp):
+                rows = []
+                for s in range(strips_per_plane):
+                    i = c * strips_per_plane + s
+                    rows.append(np.frombuffer(buf, dt, counts[i] // dt.itemsize,
+                                              offs[i]))
+                planes.append(np.concatenate(rows).reshape(height, width))
+            chw = np.stack(planes)
+
+    img = np.ascontiguousarray(chw).astype(np.float32)
+    if dn_scale and np.issubdtype(dtype, np.integer):
+        img /= float(dn_scale)
+
+    meta = {"width": width, "height": height}
+    if _MODEL_PIXEL_SCALE in tags:
+        meta["pixel_scale"] = tags[_MODEL_PIXEL_SCALE][:2]
+    if _MODEL_TIEPOINT in tags:
+        meta["tiepoint"] = tags[_MODEL_TIEPOINT][:6]
+    if _GEO_KEY_DIRECTORY in tags:
+        gk = tags[_GEO_KEY_DIRECTORY]
+        for i in range(4, len(gk), 4):
+            key_id, loc, cnt, val = gk[i:i + 4]
+            # ProjectedCSTypeGeoKey (3072) wins over GeographicTypeGeoKey (2048)
+            if key_id == 3072 and loc == 0:
+                meta["epsg"] = val
+            elif key_id == 2048 and loc == 0 and "epsg" not in meta:
+                meta["epsg"] = val
+    return img, meta
+
+
+def write_geotiff(path: str, img_chw: np.ndarray, *,
+                  pixel_scale: Tuple[float, float] = (10.0, 10.0),
+                  origin: Tuple[float, float] = (0.0, 0.0),
+                  epsg: int = 4326, planar: bool = False,
+                  rows_per_strip: Optional[int] = None) -> None:
+    """Minimal uncompressed little-endian GeoTIFF writer (chunky or planar
+    striped).  ``origin`` is the (x, y) of the raster's top-left corner."""
+    img = np.ascontiguousarray(img_chw)
+    c, h, w = img.shape
+    if img.dtype == np.uint8:
+        bps, sfmt = 8, 1
+    elif img.dtype == np.uint16:
+        bps, sfmt = 16, 1
+    elif img.dtype == np.float32:
+        bps, sfmt = 32, 3
+    else:
+        raise ValueError(f"unsupported dtype {img.dtype}")
+    itemsize = bps // 8
+    rps = rows_per_strip or h
+
+    if planar:
+        payload_planes = [np.ascontiguousarray(img[i]) for i in range(c)]
+        strips = []
+        for plane in payload_planes:
+            for y0 in range(0, h, rps):
+                strips.append(plane[y0:y0 + rps].tobytes())
+    else:
+        hwc = np.ascontiguousarray(np.transpose(img, (1, 2, 0)))
+        strips = [hwc[y0:y0 + rps].tobytes() for y0 in range(0, h, rps)]
+
+    geo_dir = np.asarray([1, 1, 0, 3,
+                          1024, 0, 1, 2 if epsg == 4326 else 1,
+                          (2048 if epsg == 4326 else 3072), 0, 1, epsg],
+                         np.uint16)
+    pixel_scale_d = np.asarray([pixel_scale[0], pixel_scale[1], 0.0], np.float64)
+    tiepoint_d = np.asarray([0, 0, 0, origin[0], origin[1], 0], np.float64)
+
+    entries = []  # (tag, type, count, value_bytes or int)
+    def add(tag, typ, vals):
+        entries.append((tag, typ, vals))
+
+    add(_IMAGE_WIDTH, 4, [w])
+    add(_IMAGE_LENGTH, 4, [h])
+    add(_BITS_PER_SAMPLE, 3, [bps] * c)
+    add(_COMPRESSION, 3, [1])
+    add(262, 3, [1])  # photometric: BlackIsZero
+    add(_STRIP_OFFSETS, 4, [0] * len(strips))  # patched below
+    add(_SAMPLES_PER_PIXEL, 3, [c])
+    add(_ROWS_PER_STRIP, 4, [rps])
+    add(_STRIP_BYTE_COUNTS, 4, [len(s) for s in strips])
+    add(_PLANAR_CONFIG, 3, [2 if planar else 1])
+    add(_SAMPLE_FORMAT, 3, [sfmt] * c)
+    add(_MODEL_PIXEL_SCALE, 12, pixel_scale_d.tolist())
+    add(_MODEL_TIEPOINT, 12, tiepoint_d.tolist())
+    add(_GEO_KEY_DIRECTORY, 3, geo_dir.tolist())
+
+    entries.sort(key=lambda e: e[0])
+    header = struct.pack("<2sHI", b"II", 42, 8)
+    n = len(entries)
+    ifd_size = 2 + 12 * n + 4
+    ext_off = 8 + ifd_size  # overflow area starts after IFD
+    ext = bytearray()
+    fixed = []
+    for tag, typ, vals in entries:
+        fmt = _TYPE_FMT[typ]
+        size = _TYPE_SIZES[typ] * len(vals)
+        if size <= 4:
+            raw = struct.pack("<" + str(len(vals)) + fmt, *vals).ljust(4, b"\0")
+            fixed.append((tag, typ, len(vals), raw, None))
+        else:
+            fixed.append((tag, typ, len(vals), None, len(ext)))
+            ext += struct.pack("<" + str(len(vals)) + fmt, *vals)
+    data_off = ext_off + len(ext)
+    # patch strip offsets now that layout is known
+    strip_offs = []
+    acc = data_off
+    for s in strips:
+        strip_offs.append(acc)
+        acc += len(s)
+    out = bytearray(header)
+    out += struct.pack("<H", n)
+    for tag, typ, cnt, raw, extpos in fixed:
+        if tag == _STRIP_OFFSETS:
+            if cnt == 1:
+                raw = struct.pack("<I", strip_offs[0])
+                extpos = None
+            else:
+                raw = None
+                # rewrite the placeholder in ext
+                packed = struct.pack("<" + str(cnt) + "I", *strip_offs)
+                ext[extpos:extpos + len(packed)] = packed
+        if raw is not None:
+            out += struct.pack("<HHI", tag, typ, cnt) + raw
+        else:
+            out += struct.pack("<HHII", tag, typ, cnt, ext_off + extpos)
+    out += struct.pack("<I", 0)  # no next IFD
+    out += ext
+    for s in strips:
+        out += s
+    with open(path, "wb") as f:
+        f.write(out)
+
+
+# ------------------------------------------------------------------ CRS math
+
+def utm_to_lonlat(epsg: int, x, y):
+    """Inverse WGS84 transverse Mercator for UTM zones (EPSG 326xx north /
+    327xx south), Krüger series order n⁴ (≲0.1 mm in-zone vs PROJ)."""
+    zone = epsg % 100
+    north = (epsg // 100) == 326
+    if not (1 <= zone <= 60) or (epsg // 100) not in (326, 327):
+        raise ValueError(f"EPSG:{epsg} is not a WGS84 UTM zone")
+    a = 6378137.0
+    f = 1 / 298.257223563
+    k0 = 0.9996
+    e2 = f * (2 - f)
+    n_ = f / (2 - f)
+    # meridian arc scaling
+    A = a / (1 + n_) * (1 + n_**2 / 4 + n_**4 / 64)
+    x = np.asarray(x, np.float64) - 500000.0
+    y = np.asarray(y, np.float64)
+    if not north:
+        y = y - 10000000.0
+    xi = y / (k0 * A)
+    eta = x / (k0 * A)
+    beta = [n_ / 2 - 2 * n_**2 / 3 + 37 * n_**3 / 96 - n_**4 / 360,
+            n_**2 / 48 + n_**3 / 15 - 437 * n_**4 / 1440,
+            17 * n_**3 / 480 - 37 * n_**4 / 840,
+            4397 * n_**4 / 161280]
+    xi_p, eta_p = xi, eta
+    for j, b in enumerate(beta, start=1):
+        xi_p = xi_p - b * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        eta_p = eta_p - b * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+    chi = np.arcsin(np.sin(xi_p) / np.cosh(eta_p))
+    delta = [2 * n_ - 2 * n_**2 / 3 - 2 * n_**3 + 116 * n_**4 / 45,
+             7 * n_**2 / 3 - 8 * n_**3 / 5 - 227 * n_**4 / 45,
+             56 * n_**3 / 15 - 136 * n_**4 / 35,
+             4279 * n_**4 / 630]
+    lat = chi
+    for j, d in enumerate(delta, start=1):
+        lat = lat + d * np.sin(2 * j * chi)
+    lon0 = math.radians(zone * 6 - 183)
+    lon = lon0 + np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+    return np.degrees(lon), np.degrees(lat)
+
+
+def centroid_lonlat(meta: dict) -> Optional[np.ndarray]:
+    """Raster-centroid (lon, lat) from :func:`read_geotiff` metadata —
+    mirrors ``src.xy(h//2, w//2)`` + warp at
+    ``/root/reference/data/SR_dataset_RGB.py:31-37`` (pixel-center
+    convention).  Returns None when the raster carries no georeferencing."""
+    if "tiepoint" not in meta or "pixel_scale" not in meta:
+        return None
+    sx, sy = meta["pixel_scale"]
+    _, _, _, ox, oy, _ = meta["tiepoint"]
+    cx = ox + (meta["width"] // 2 + 0.5) * sx
+    cy = oy - (meta["height"] // 2 + 0.5) * sy
+    epsg = meta.get("epsg", 4326)
+    if epsg == 4326:
+        return np.asarray([cx, cy], np.float32)
+    lon, lat = utm_to_lonlat(epsg, cx, cy)
+    return np.asarray([float(lon), float(lat)], np.float32)

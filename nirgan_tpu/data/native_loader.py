@@ -2,8 +2,8 @@
 
 Builds the shared library on first use (g++, cached under ``native/build``)
 and exposes ``NativeNpyDataset`` — a drop-in map-free iterable that decodes
-uint16-DN/f32 ``.npy`` RGBN tiles in C++ worker threads, bypassing Python in
-the decode path entirely.  Falls back to the numpy reader when no compiler
+uint16-DN/f32 ``.npy`` and baseline GeoTIFF RGBN tiles in C++ worker
+threads, bypassing Python in the decode path entirely.  Falls back to the numpy reader when no compiler
 is available (``available()`` gates usage).
 """
 
@@ -111,18 +111,21 @@ class NativeTileReader:
 
 
 class NativeNpyDataset:
-    """Batch iterable over a folder of RGBN ``.npy`` tiles using the native
-    reader; yields the universal batch dict.  (Epoch order is the shuffled
-    path order; within an epoch, batches arrive in decode-completion order —
-    an extra shuffle layer, fine for training.)"""
+    """Batch iterable over a folder of RGBN ``.npy``/GeoTIFF tiles using the
+    native reader; yields the universal batch dict.  (Epoch order is the
+    shuffled path order; within an epoch, batches arrive in decode-completion
+    order — an extra shuffle layer, fine for training.)"""
+
+    SUFFIXES = (".npy", ".tif", ".tiff")
 
     def __init__(self, base_path: str, image_size: int = 256,
                  batch_size: int = 16, shuffle: bool = True, seed: int = 0,
                  n_threads: int = 8, drop_last: bool = True):
         self.paths = sorted(os.path.join(base_path, f)
-                            for f in os.listdir(base_path) if f.endswith(".npy"))
+                            for f in os.listdir(base_path)
+                            if f.lower().endswith(self.SUFFIXES))
         if not self.paths:
-            raise FileNotFoundError(f"no .npy tiles under {base_path!r}")
+            raise FileNotFoundError(f"no .npy/.tif tiles under {base_path!r}")
         self.image_size = image_size
         self.batch_size = batch_size
         self.shuffle = shuffle

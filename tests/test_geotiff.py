@@ -1,0 +1,165 @@
+"""Self-contained GeoTIFF stack (nirgan_tpu/data/geotiff.py): reader/writer
+round-trips, GeoKey parsing, UTM→WGS84 inversion, and the
+GeoTiffFolderDataset → train-step path with no rasterio/tifffile installed
+(reference contract: /root/reference/data/SR_dataset_RGB.py:29-43)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from nirgan_tpu.data.geotiff import (
+    centroid_lonlat,
+    read_geotiff,
+    utm_to_lonlat,
+    write_geotiff,
+)
+
+
+@pytest.mark.parametrize("dtype,planar,rps", [
+    (np.uint16, False, None),
+    (np.uint16, True, 4),
+    (np.uint8, False, 3),
+    (np.float32, False, None),
+    (np.float32, True, None),
+])
+def test_write_read_roundtrip(tmp_path, dtype, planar, rps):
+    rng = np.random.default_rng(5)
+    if np.issubdtype(dtype, np.integer):
+        img = rng.integers(0, 10000, (4, 11, 13)).astype(dtype)
+    else:
+        img = rng.random((4, 11, 13)).astype(dtype)
+    p = str(tmp_path / "t.tif")
+    write_geotiff(p, img, pixel_scale=(10.0, 10.0), origin=(699960.0, 5900040.0),
+                  epsg=32632, planar=planar, rows_per_strip=rps)
+    got, meta = read_geotiff(p)
+    np.testing.assert_allclose(got, img.astype(np.float32))
+    assert meta["epsg"] == 32632
+    assert meta["pixel_scale"] == (10.0, 10.0)
+    assert meta["tiepoint"][3:5] == (699960.0, 5900040.0)
+
+    # DN scaling applies to integer samples only
+    got2, _ = read_geotiff(p, dn_scale=10000.0)
+    if np.issubdtype(dtype, np.integer):
+        np.testing.assert_allclose(got2, img.astype(np.float32) / 10000.0)
+    else:
+        np.testing.assert_allclose(got2, img.astype(np.float32))
+
+
+def _forward_utm(lon_deg, lat_deg, zone, north=True):
+    """Independent forward Krüger series (test oracle for the inverse)."""
+    a, f, k0 = 6378137.0, 1 / 298.257223563, 0.9996
+    n = f / (2 - f)
+    A = a / (1 + n) * (1 + n**2 / 4 + n**4 / 64)
+    e = math.sqrt(f * (2 - f))
+    lon0 = math.radians(zone * 6 - 183)
+    lat, lon = math.radians(lat_deg), math.radians(lon_deg) - lon0
+    t = math.sinh(math.atanh(math.sin(lat)) - e * math.atanh(e * math.sin(lat)))
+    xi = math.atan2(t, math.cos(lon))
+    eta = math.asinh(math.sin(lon) / math.hypot(t, math.cos(lon)))
+    alpha = [n / 2 - 2 * n**2 / 3 + 5 * n**3 / 16 + 41 * n**4 / 180,
+             13 * n**2 / 48 - 3 * n**3 / 5 + 557 * n**4 / 1440,
+             61 * n**3 / 240 - 103 * n**4 / 140,
+             49561 * n**4 / 161280]
+    x, y = eta, xi
+    for j, al in enumerate(alpha, start=1):
+        y += al * math.sin(2 * j * xi) * math.cosh(2 * j * eta)
+        x += al * math.cos(2 * j * xi) * math.sinh(2 * j * eta)
+    easting = 500000.0 + k0 * A * x
+    northing = k0 * A * y + (0.0 if north else 10000000.0)
+    return easting, northing
+
+
+def test_utm_to_lonlat_central_meridian():
+    lon, lat = utm_to_lonlat(32632, 500000.0, 0.0)
+    assert abs(lon - 9.0) < 1e-9 and abs(lat) < 1e-9
+    lon, lat = utm_to_lonlat(32756, 500000.0, 10000000.0)
+    assert abs(lon - 153.0) < 1e-9 and abs(lat) < 1e-9
+
+
+@pytest.mark.parametrize("lon,lat,zone,north", [
+    (9.5, 48.7, 32, True),     # Stuttgart-ish
+    (7.1, 50.7, 32, True),
+    (151.2, -33.85, 56, False),  # Sydney
+    (-70.66, -33.45, 19, False),  # Santiago
+])
+def test_utm_roundtrip(lon, lat, zone, north):
+    e, n = _forward_utm(lon, lat, zone, north)
+    epsg = (32600 if north else 32700) + zone
+    lon2, lat2 = utm_to_lonlat(epsg, e, n)
+    assert abs(float(lon2) - lon) < 1e-8
+    assert abs(float(lat2) - lat) < 1e-8
+
+
+def test_centroid_lonlat_matches_rasterio_convention(tmp_path):
+    """centroid = pixel-center of (h//2, w//2) — src.xy semantics."""
+    img = np.zeros((4, 10, 10), np.uint16)
+    p = str(tmp_path / "c.tif")
+    # 10 m pixels; put the tile so its centroid sits at UTM 32N 500000, 5000000
+    ox = 500000.0 - (10 // 2 + 0.5) * 10.0
+    oy = 5000000.0 + (10 // 2 + 0.5) * 10.0
+    write_geotiff(p, img, pixel_scale=(10.0, 10.0), origin=(ox, oy), epsg=32632)
+    _, meta = read_geotiff(p)
+    ll = centroid_lonlat(meta)
+    assert abs(ll[0] - 9.0) < 1e-5  # central meridian
+    exp_lon, exp_lat = utm_to_lonlat(32632, 500000.0, 5000000.0)
+    assert abs(ll[0] - exp_lon) < 1e-5 and abs(ll[1] - exp_lat) < 1e-5
+
+
+def test_geotiff_dataset_feeds_train_step(tmp_path):
+    """End-to-end: GeoTIFF folder → dataset → real fused GAN train step,
+    with neither rasterio nor tifffile installed."""
+    import jax
+    from nirgan_tpu.config import load_config
+    from nirgan_tpu.data.datasets import GeoTiffFolderDataset
+    from nirgan_tpu.tasks import Px2PxTask
+
+    rng = np.random.default_rng(6)
+    for i in range(3):
+        img = rng.integers(0, 10000, (4, 40, 40)).astype(np.uint16)
+        write_geotiff(str(tmp_path / f"tile{i}.tif"), img,
+                      pixel_scale=(10.0, 10.0),
+                      origin=(399960.0 + 400 * i, 5800020.0), epsg=32633)
+
+    ds = GeoTiffFolderDataset(str(tmp_path), image_size=32, return_coords=True)
+    assert len(ds) == 3
+    item = ds[0]
+    assert item["rgb"].shape == (3, 32, 32) and item["nir"].shape == (1, 32, 32)
+    assert float(item["rgb"].max()) <= 1.0  # DN/10000
+    assert 13.0 < item["coords"][0] < 17.0  # zone 33 longitudes
+    assert 50.0 < item["coords"][1] < 55.0
+
+    cfg = load_config("configs/config_px2px_SatCLIP.yaml")
+    cfg.tpu.compute_dtype = "float32"
+    cfg.Data.fake_settings.image_size = 32
+    task = Px2PxTask(cfg)
+    state = task.init_state(seed=0, image_size=32)
+    step = task.make_train_step()
+    batch = {k: np.stack([ds[i][k] for i in range(2)]) for k in ("rgb", "nir", "coords")}
+    state, metrics = step(state, task.extract_batch(batch))
+    assert np.isfinite(float(metrics["model_loss/generator_total_loss"]))
+
+
+def test_sr_paired_dataset_reads_geotiff(tmp_path):
+    """SRPairedDataset serves the reference SR contract from GeoTIFF pairs,
+    coords from the LR raster's georeferencing (SR_dataset_RGB.py:29-43)."""
+    from nirgan_tpu.data.datasets import SRPairedDataset
+
+    rng = np.random.default_rng(7)
+    (tmp_path / "LR").mkdir()
+    (tmp_path / "HR").mkdir()
+    ox = 500000.0 - (8 // 2 + 0.5) * 10.0
+    oy = 5000000.0 + (8 // 2 + 0.5) * 10.0
+    write_geotiff(str(tmp_path / "LR" / "a.tif"),
+                  rng.integers(0, 10000, (4, 8, 8)).astype(np.uint16),
+                  pixel_scale=(10.0, 10.0), origin=(ox, oy), epsg=32632)
+    write_geotiff(str(tmp_path / "HR" / "a.tif"),
+                  rng.integers(0, 10000, (3, 32, 32)).astype(np.uint16),
+                  epsg=32632)
+    ds = SRPairedDataset(str(tmp_path))
+    item = ds[0]
+    assert item["lr"].shape == (3, 8, 8)
+    assert item["hr"].shape == (3, 32, 32)
+    assert item["s2_nir"].shape == (1, 8, 8)
+    assert item["id"] == "a"
+    assert abs(item["coords"][0] - 9.0) < 1e-4  # UTM 32N central meridian

@@ -82,3 +82,55 @@ def test_native_faster_than_single_thread_python(tile_dir):
         a = a[:, 8:72, 8:72].copy()
     t_py = time.perf_counter() - t0
     assert t_native < t_py * 1.5, (t_native, t_py)
+
+
+@pytest.mark.parametrize("planar,dtype", [(False, np.uint16), (True, np.uint16),
+                                          (False, np.float32)])
+def test_native_reader_decodes_geotiff(tmp_path, planar, dtype):
+    """The C++ TIFF decode path matches the Python reference reader
+    (nirgan_tpu/data/geotiff.py) bit-for-bit."""
+    from nirgan_tpu.data import native_loader
+    from nirgan_tpu.data.geotiff import read_geotiff, write_geotiff
+
+    if not native_loader.available():
+        pytest.skip("no C++ toolchain")
+    rng = np.random.default_rng(21)
+    paths = []
+    for i in range(3):
+        if np.issubdtype(dtype, np.integer):
+            img = rng.integers(0, 10000, (4, 24, 24)).astype(dtype)
+        else:
+            img = rng.random((4, 24, 24)).astype(dtype)
+        p = str(tmp_path / f"t{i}.tif")
+        write_geotiff(p, img, epsg=32632, planar=planar,
+                      rows_per_strip=5 if i % 2 else None)
+        paths.append(p)
+
+    reader = native_loader.NativeTileReader(paths, crop=16, n_threads=2)
+    got = {idx: tile for idx, tile in reader}
+    reader.close()
+    assert sorted(got) == [0, 1, 2]
+    for i, p in enumerate(paths):
+        ref, _ = read_geotiff(p, dn_scale=10000.0)
+        c = (ref.shape[1] - 16) // 2
+        np.testing.assert_allclose(got[i], ref[:, c:c + 16, c:c + 16], rtol=1e-6)
+
+
+def test_native_dataset_over_tiff_folder(tmp_path):
+    from nirgan_tpu.data import native_loader
+    from nirgan_tpu.data.geotiff import write_geotiff
+
+    if not native_loader.available():
+        pytest.skip("no C++ toolchain")
+    rng = np.random.default_rng(22)
+    for i in range(4):
+        write_geotiff(str(tmp_path / f"x{i}.tif"),
+                      rng.integers(0, 10000, (4, 20, 20)).astype(np.uint16),
+                      epsg=4326)
+    ds = native_loader.NativeNpyDataset(str(tmp_path), image_size=16,
+                                        batch_size=2, n_threads=2)
+    batches = list(ds)
+    assert len(batches) == 2
+    assert batches[0]["rgb"].shape == (2, 3, 16, 16)
+    assert batches[0]["nir"].shape == (2, 1, 16, 16)
+    assert float(batches[0]["rgb"].max()) <= 1.0
