@@ -55,8 +55,17 @@ def _gaussian_blur(x, window_size: int, sigma: float = 1.5):
     return y
 
 
-def ssim(img1, img2, window_size: int = 11, max_val: float = 1.0):
-    """Per-pixel SSIM map (same spatial size as inputs)."""
+def ssim(img1, img2, window_size: int = 11, max_val: float = 1.0,
+         eps: float = 1e-12):
+    """Per-pixel SSIM map (same spatial size as inputs).
+
+    Exact algorithm of ``kornia.metrics.ssim`` at the reference's pinned
+    kornia==0.7.3 (``requirements.txt:`` pin; used at ``utils/losses.py:27``
+    window 11 and ``utils/calculate_metrics.py:28`` window 5): Gaussian
+    window σ=1.5 centred on (ws−1)/2, reflect-padded 'same' filtering,
+    E[x²]−E[x]² variances, and kornia's ``num / (den + eps)`` guard with
+    eps=1e-12.  Verified against a literal torch transcription of the
+    kornia source in ``tests/test_losses.py``."""
     x = img1.astype(jnp.float32)
     y = img2.astype(jnp.float32)
     c1 = (0.01 * max_val) ** 2
@@ -73,7 +82,7 @@ def ssim(img1, img2, window_size: int = 11, max_val: float = 1.0):
 
     num = (2.0 * mu_xy + c1) * (2.0 * sigma_xy + c2)
     den = (mu_xx + mu_yy + c1) * (sigma_x + sigma_y + c2)
-    return num / den
+    return num / (den + eps)
 
 
 def ssim_loss(img1, img2, window_size: int = 11):

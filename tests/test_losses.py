@@ -178,3 +178,64 @@ def test_rs_index_mode_returns_pair():
     obj = RemoteSensingIndices(mode="index")
     a, b = obj.ndvi_calculation(jnp.asarray(rgb), jnp.asarray(nir), jnp.asarray(nirp))
     assert a.shape == (1, 8, 8, 1) and b.shape == (1, 8, 8, 1)
+
+
+# ---------------------------------------------------------------------------
+# kornia 0.7.3 transcription oracle (the reference pins kornia==0.7.3;
+# kornia itself is not installed here).  This is a literal torch port of
+# kornia/metrics/ssim.py's `ssim` at that tag: 2-D Gaussian window
+# (outer product of 1-D kernels centred on (ws-1)/2, sigma 1.5), filter2d
+# with reflect 'same' padding, E[x^2]-E[x]^2 variances, num/(den + 1e-12).
+
+def _kornia_gaussian1d(ws, sigma=1.5):
+    x = torch.arange(ws, dtype=torch.float32) - ws // 2
+    if ws % 2 == 0:
+        x = x + 0.5
+    g = torch.exp(-x.pow(2) / (2 * sigma ** 2))
+    return g / g.sum()
+
+
+def _kornia_filter2d(x, kernel2d):
+    ws = kernel2d.shape[-1]
+    pad = ws // 2
+    b, c, h, w = x.shape
+    xp = F.pad(x, (pad, pad, pad, pad), mode="reflect")
+    k = kernel2d.expand(c, 1, ws, ws)
+    return F.conv2d(xp, k, groups=c)
+
+
+def _kornia_073_ssim(img1, img2, ws, max_val=1.0, eps=1e-12):
+    c1 = (0.01 * max_val) ** 2
+    c2 = (0.03 * max_val) ** 2
+    g = _kornia_gaussian1d(ws)
+    kernel = (g[:, None] @ g[None, :])[None]
+    mu1 = _kornia_filter2d(img1, kernel)
+    mu2 = _kornia_filter2d(img2, kernel)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1.pow(2), mu2.pow(2), mu1 * mu2
+    sigma1_sq = _kornia_filter2d(img1 ** 2, kernel) - mu1_sq
+    sigma2_sq = _kornia_filter2d(img2 ** 2, kernel) - mu2_sq
+    sigma12 = _kornia_filter2d(img1 * img2, kernel) - mu1_mu2
+    num = (2.0 * mu1_mu2 + c1) * (2.0 * sigma12 + c2)
+    den = (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)
+    return num / (den + eps)
+
+
+@pytest.mark.parametrize("window", [5, 11])
+def test_ssim_matches_kornia_073_transcription(window):
+    """Full SSIM *map* (not just the mean) vs the kornia 0.7.3 oracle —
+    closes the PARITY.md 'SSIM oracle-validated only' deviation."""
+    rng = np.random.default_rng(17)
+    x = rng.random((2, 1, 24, 26)).astype(np.float32)
+    y = np.clip(x + 0.15 * rng.standard_normal(x.shape).astype(np.float32), 0, 1)
+    ref = _kornia_073_ssim(torch.from_numpy(x), torch.from_numpy(y), window).numpy()
+    out = ssim(jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+               jnp.asarray(np.transpose(y, (0, 2, 3, 1))), window)
+    np.testing.assert_allclose(ref, np.transpose(np.asarray(out), (0, 3, 1, 2)),
+                               rtol=1e-5, atol=1e-6)
+
+    # and the loss exactly as the reference composes it (utils/losses.py:27)
+    ref_loss = float(1.0 - _kornia_073_ssim(torch.from_numpy(x),
+                                            torch.from_numpy(y), 11).mean())
+    out_loss = float(ssim_loss(jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+                               jnp.asarray(np.transpose(y, (0, 2, 3, 1)))))
+    assert abs(ref_loss - out_loss) < 1e-6
