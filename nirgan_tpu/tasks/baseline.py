@@ -119,4 +119,10 @@ class BaselineTask:
         return np.asarray(nhwc_to_nchw(pred))
 
     def load_torch_weights(self, path: str):
-        raise NotImplementedError("baseline warm-start from torch is not supported")
+        """Weights-only warm start from a reference baseline Lightning ckpt
+        (shared mechanism of ``train.py:61-65``)."""
+        from nirgan_tpu.train.torch_convert import convert_baseline, load_torch_state_dict
+
+        sd = load_torch_state_dict(path)
+        return {"params_g": convert_baseline(
+            sd, self.config.base_configs.model_name)}

@@ -26,6 +26,7 @@ __all__ = [
     "convert_nlayer_discriminator",
     "convert_pixel_discriminator",
     "convert_px2px_checkpoint",
+    "convert_baseline",
     "convert_timm_resnet",
     "convert_timm_vit",
 ]
@@ -156,6 +157,31 @@ def convert_px2px_checkpoint(path_or_sd, config) -> dict:
                 sd, prefix="netD.", n_layers=3 if bc.netD == "basic" else bc.n_layers_D
             )
     return out
+
+
+def _linear_as_conv1x1(sd: Mapping[str, np.ndarray], key: str) -> dict:
+    """torch ``nn.Linear`` (out,in) → 1×1 conv kernel (1,1,in,out) — the
+    per-pixel baselines express Linear layers as 1×1 convs
+    (``models/baselines.py``)."""
+    w = sd[f"{key}.weight"]
+    out = {"kernel": np.transpose(w, (1, 0))[None, None]}
+    if f"{key}.bias" in sd:
+        out["bias"] = sd[f"{key}.bias"]
+    return out
+
+
+def convert_baseline(sd: Mapping[str, np.ndarray], model_name: str) -> dict:
+    """Map a reference baseline state_dict (``model/baseline_models.py``:
+    ``Linear_NIR.linear`` / ``MLP_NIR.mlp.{0,2,4}`` / ``CNN_NIR.net.{0,2,4}``)
+    onto the flax baseline params — closes the reference's shared
+    weights-only warm-start mechanism (``train.py:61-65``) for baselines."""
+    if model_name == "Linear_NIR":
+        return {"linear": _linear_as_conv1x1(sd, "linear")}
+    if model_name == "MLP_NIR":
+        return {f"fc{i}": _linear_as_conv1x1(sd, f"mlp.{2 * i}") for i in range(3)}
+    if model_name == "CNN_NIR":
+        return {f"conv{i}": _conv(sd, f"net.{2 * i}") for i in range(3)}
+    raise ValueError("Invalid Model Name")
 
 
 def _bn_split(sd: Mapping[str, np.ndarray], key: str):

@@ -49,7 +49,7 @@ class Trainer:
     def __init__(self, task, datamodule, config, logdir: Optional[str] = None,
                  mesh=None, max_steps: Optional[int] = None,
                  limit_val_batches: Optional[int] = None, log_every: int = 10,
-                 seed: int = 0):
+                 seed: int = 0, val_check_interval: Optional[int] = None):
         self.task = task
         self.dm = datamodule
         self.config = config
@@ -59,6 +59,14 @@ class Trainer:
         self.limit_val_batches = int(
             limit_val_batches if limit_val_batches is not None
             else cc.Training.get("limit_val_batches", 5))
+        # PL val_check_interval analogue (int = every N train steps): with
+        # the native loader a long epoch otherwise under-validates — and the
+        # plateau schedulers only step at validation time.  0/None keeps the
+        # reference's per-epoch cadence.
+        self.val_check_interval = int(
+            val_check_interval if val_check_interval is not None
+            else cc.Training.get("val_check_interval", 0)) or None
+        self._config_saved = False
         self.num_val_images = int(cc.Logging.get("num_val_images", 1))
         self.log_ndvi = bool(cc.Logging.get("log_ndvi", False))
         self.log_input_stats = bool(cc.Logging.get("log_input_stats", False))
@@ -175,6 +183,9 @@ class Trainer:
                         jax.device_get(state.lr_d))
                     self.logger.log_metrics(m, step_no)
                     t_window, n_window = time.perf_counter(), 0
+                if (self.val_check_interval
+                        and step_no % self.val_check_interval == 0):
+                    state = self._run_validation(state, epoch + 1, step_no)
                 if self._preempted:
                     self.ckpt.save(state, {})
                     print(f"preemption checkpoint written at step {step_no}")
@@ -183,7 +194,8 @@ class Trainer:
                     break
 
             epoch += 1
-            state = self._run_validation(state, epoch, step_no)
+            if not self.val_check_interval:
+                state = self._run_validation(state, epoch, step_no)
 
         return state
 
@@ -207,10 +219,13 @@ class Trainer:
         val["epoch"] = epoch
         self.logger.log_metrics(val, step_no)
 
-        # config snapshot at epoch 1 (reference model/pix2pix.py:321-324)
-        if epoch == 1:
+        # config snapshot at the first validation (reference saves at epoch 1,
+        # model/pix2pix.py:321-324; with step-cadence validation "epoch 1" may
+        # be hours away, so first-validation is the faithful generalisation)
+        if not self._config_saved:
             try:
                 save_config(self.config, os.path.join(self.logdir, "config.yaml"))
+                self._config_saved = True
             except Exception as e:  # best-effort, like the reference
                 print("Error in saving config to experiment path:", e)
 

@@ -183,3 +183,23 @@ def test_trainer_baseline(tmp_path):
     assert int(jax.device_get(state.step)) == 8
     lines = [json.loads(l) for l in open(tmp_path / "b" / "metrics.jsonl")]
     assert any("train/loss" in l for l in lines)
+
+
+def test_trainer_step_based_validation(tmp_path):
+    """val_check_interval: validation (and plateau scheduling, checkpoints)
+    run on a step cadence mid-epoch instead of at epoch end."""
+    from nirgan_tpu.train.trainer import Trainer
+
+    cfg = _cfg()
+    task = Px2PxTask(cfg)
+    dm = dataset_selector(cfg)
+    tr = Trainer(task, dm, cfg, logdir=str(tmp_path / "sv"), max_steps=7,
+                 limit_val_batches=1, log_every=100, val_check_interval=3)
+    state = tr.fit()
+    assert int(jax.device_get(state.step)) == 7
+
+    lines = [json.loads(l) for l in open(tmp_path / "sv" / "metrics.jsonl")]
+    val_steps = [l["step"] for l in lines if "val/L1" in l]
+    assert val_steps == [3, 6]  # mid-epoch cadence, no epoch-end double-run
+    assert (tmp_path / "sv" / "config.yaml").exists()  # first-validation snapshot
+    assert (tmp_path / "sv" / "last").is_dir()

@@ -112,3 +112,70 @@ def test_s2geo_transforms_jitter_and_crop():
     assert out["image"].shape == (4, 64, 64)
     assert np.all(np.abs(out["point"] - item["point"]) <= 0.01 + 1e-6)
     assert not np.array_equal(out["point"], item["point"])
+
+
+def test_baseline_torch_warm_start(tmp_path):
+    """Baseline warm start from reference-layout Lightning ckpts: forward
+    parity for all three baseline nets (closes tasks/baseline.py's former
+    NotImplementedError; reference mechanism train.py:61-65)."""
+    import torch
+    import torch.nn as tnn
+
+    from nirgan_tpu.config import load_config
+    from nirgan_tpu.tasks.baseline import BaselineTask
+
+    torch.manual_seed(3)
+
+    class LinearRef(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.linear = tnn.Linear(3, 1)
+
+        def forward(self, x):
+            b, c, h, w = x.shape
+            y = self.linear(x.permute(0, 2, 3, 1).reshape(-1, 3))
+            return y.reshape(b, h, w, 1).permute(0, 3, 1, 2)
+
+    class MLPRef(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.mlp = tnn.Sequential(tnn.Linear(3, 64), tnn.ReLU(),
+                                      tnn.Linear(64, 64), tnn.ReLU(),
+                                      tnn.Linear(64, 1))
+
+        def forward(self, x):
+            b, c, h, w = x.shape
+            y = self.mlp(x.permute(0, 2, 3, 1).reshape(-1, 3))
+            return y.reshape(b, h, w, 1).permute(0, 3, 1, 2)
+
+    class CNNRef(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.net = tnn.Sequential(
+                tnn.Conv2d(3, 32, 3, padding=1), tnn.ReLU(),
+                tnn.Conv2d(32, 64, 3, padding=1), tnn.ReLU(),
+                tnn.Conv2d(64, 1, 3, padding=1))
+
+        def forward(self, x):
+            return self.net(x)
+
+    rng = np.random.default_rng(4)
+    x = rng.random((2, 3, 16, 16)).astype(np.float32)
+    for name, cls in (("Linear_NIR", LinearRef), ("MLP_NIR", MLPRef),
+                      ("CNN_NIR", CNNRef)):
+        net = cls().eval()
+        path = str(tmp_path / f"{name}.ckpt")
+        torch.save({"state_dict": net.state_dict()}, path)
+        with torch.no_grad():
+            want = net(torch.from_numpy(x)).numpy()
+
+        cfg = load_config("configs/config_baselines.yaml")
+        cfg.base_configs.model_name = name
+        cfg.tpu.compute_dtype = "float32"  # parity mode
+        cfg.Data.dataset_type = "fake"
+        cfg.Data.fake_settings = {"image_size": 16, "length": 8}
+        task = BaselineTask(cfg)
+        loaded = task.load_torch_weights(path)
+        task.bind(loaded["params_g"])
+        got = task.predict_step(x)
+        np.testing.assert_allclose(want, got, rtol=1e-4, atol=1e-5)
