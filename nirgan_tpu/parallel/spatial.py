@@ -21,7 +21,8 @@ import numpy as np
 import jax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-__all__ = ["spatial_predict_fn", "predict_large_tile"]
+__all__ = ["spatial_predict_fn", "predict_large_tile", "spatial_predict_fn_2d",
+           "predict_tiles_2d"]
 
 
 def spatial_predict_fn(task, mesh, axis: str = "data"):
@@ -36,6 +37,43 @@ def spatial_predict_fn(task, mesh, axis: str = "data"):
         return pred.astype(np.float32)
 
     return jax.jit(fn, in_shardings=(repl, rows), out_shardings=rows), rows
+
+
+def spatial_predict_fn_2d(task, mesh, batch_axis: str = "data",
+                          h_axis: str = "spatial"):
+    """2-D mesh composition (``('data', 'spatial')``): batch parallelism and
+    H-sharding at once — batch-throughput scaling *and* per-tile latency
+    reduction on the same slice (ROADMAP perf bullet 3).  GSPMD emits halo
+    exchanges along ``h_axis`` and nothing along ``batch_axis``; instance-
+    norm stats all-reduce only across the spatial axis (they are per-sample,
+    so the batch axis needs no collective)."""
+    repl = NamedSharding(mesh, P())
+    grid = NamedSharding(mesh, P(batch_axis, h_axis, None, None))
+
+    def fn(params, rgb):
+        pred = task.g_apply(params, rgb.astype(task.compute_dtype), train=False)
+        return pred.astype(np.float32)
+
+    return jax.jit(fn, in_shardings=(repl, grid), out_shardings=grid), grid
+
+
+def predict_tiles_2d(task, params_g, rgb_nchw, mesh, batch_axis: str = "data",
+                     h_axis: str = "spatial"):
+    """Run a (B, 3, H, W) batch sharded B×H over a 2-D mesh; B must divide
+    the ``batch_axis`` size evenly and H must be a multiple of 4·|h_axis|
+    (two stride-2 stages need even per-shard splits).  Returns (B,1,H,W)."""
+    nb, nh = mesh.shape[batch_axis], mesh.shape[h_axis]
+    rgb = np.asarray(rgb_nchw, np.float32)
+    b, _, h, _ = rgb.shape
+    if b % nb != 0:
+        raise ValueError(f"B={b} must be a multiple of mesh '{batch_axis}' size {nb}")
+    if h % (4 * nh) != 0:
+        raise ValueError(f"H={h} must be a multiple of {4 * nh} "
+                         f"(4 × mesh '{h_axis}' size {nh})")
+    x = np.transpose(rgb, (0, 2, 3, 1))
+    fn, grid = spatial_predict_fn_2d(task, mesh, batch_axis, h_axis)
+    pred = fn(params_g, jax.device_put(x, grid))
+    return np.transpose(np.asarray(pred), (0, 3, 1, 2))
 
 
 def predict_large_tile(task, params_g, rgb_nchw, mesh, axis: str = "data"):
