@@ -3,11 +3,13 @@
 / economy (vector join) and Köppen climate class (raster point query) to a
 metric table, then clean the economy labels.
 
-Dependency gating: geopandas / rasterstats are not in this image.  The
-pure-pandas parts (``clean_economy``) always run; the spatial joins run only
-when the libraries *and* the ancillary layers (countries shapefile, Köppen
-raster + legend) are available — otherwise the columns are filled with
-"Unknown" so downstream radar plots still work.
+Backend selection: geopandas / rasterstats are used when installed (the
+reference's stack).  Without them the joins still run for the common data
+formats: a built-in ray-casting point-in-polygon join for GeoJSON country
+layers (Polygon/MultiPolygon with holes), and a point query through
+``nirgan_tpu.data.geotiff`` for EPSG:4326 Köppen rasters.  Only when no
+layer file is available at all do the columns fall back to "Unknown" so
+downstream radar plots still work.
 """
 
 from __future__ import annotations
@@ -66,6 +68,10 @@ def append_info_to_df(df: pd.DataFrame,
             world = world[["Country", "Continent", "ECONOMY", "geometry"]]
             df = pd.DataFrame(gpd.sjoin(gdf, world.set_crs("EPSG:4326"), how="left"))
             joined = True
+        except ImportError:
+            if world_path.lower().endswith((".geojson", ".json")):
+                df = _pip_join(df, world_path)
+                joined = True
         except Exception as e:
             print("country join unavailable:", e)
     if not joined:
@@ -77,14 +83,87 @@ def append_info_to_df(df: pd.DataFrame,
     return df
 
 
+def _ring_contains(ring: np.ndarray, x: float, y: float) -> bool:
+    """Ray casting (even-odd) for one ring of (N, 2) lon/lat vertices."""
+    xs, ys = ring[:, 0], ring[:, 1]
+    x1, y1 = xs, ys
+    x2, y2 = np.roll(xs, -1), np.roll(ys, -1)
+    crosses = ((y1 > y) != (y2 > y))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        x_at_y = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
+    return bool(np.count_nonzero(crosses & (x < x_at_y)) % 2)
+
+
+def _geom_contains(geom: dict, x: float, y: float) -> bool:
+    """GeoJSON Polygon/MultiPolygon containment with holes (even-odd rule:
+    point is inside iff inside the outer ring and outside every hole)."""
+    polys = ([geom["coordinates"]] if geom["type"] == "Polygon"
+             else geom["coordinates"])
+    for rings in polys:
+        arrs = [np.asarray(r, np.float64) for r in rings]
+        if _ring_contains(arrs[0], x, y) and not any(
+                _ring_contains(h, x, y) for h in arrs[1:]):
+            return True
+    return False
+
+
+def _pip_join(df: pd.DataFrame, world_geojson: str) -> pd.DataFrame:
+    """Built-in vector join: GeoJSON country layer → Country / Continent /
+    ECONOMY columns via ray-casting point-in-polygon (no geopandas).
+    Property names follow Natural Earth (``SOV_A3``/``CONTINENT``/
+    ``ECONOMY``), falling back to already-renamed variants."""
+    import json
+
+    with open(world_geojson) as f:
+        fc = json.load(f)
+    feats = fc.get("features", [])
+    country, continent, economy = [], [], []
+    for x, y in zip(df.x, df.y):
+        c, ct, ec = None, None, None
+        for ft in feats:
+            if _geom_contains(ft["geometry"], float(x), float(y)):
+                pr = ft.get("properties", {})
+                c = pr.get("SOV_A3", pr.get("Country"))
+                ct = pr.get("CONTINENT", pr.get("Continent"))
+                ec = pr.get("ECONOMY")
+                break
+        country.append(c if c is not None else "Unknown")
+        continent.append(ct if ct is not None else "Unknown")
+        economy.append(ec)
+    df = df.copy()
+    df["Country"], df["Continent"], df["ECONOMY"] = country, continent, economy
+    return df
+
+
+def _koppen_point_query_builtin(df, koppen_path):
+    """Sample an EPSG:4326 Köppen raster at (lon, lat) via the built-in
+    GeoTIFF reader (upper-left tiepoint + pixel-scale georeferencing)."""
+    from nirgan_tpu.data.geotiff import read_geotiff
+
+    img, meta = read_geotiff(koppen_path)
+    sx, sy = meta["pixel_scale"]
+    _, _, _, ox, oy, _ = meta["tiepoint"]
+    band = img[0]
+    h, w = band.shape
+    vals = []
+    for x, y in zip(df.x, df.y):
+        col = int(np.floor((float(x) - ox) / sx))
+        row = int(np.floor((oy - float(y)) / sy))
+        vals.append(int(band[row, col]) if 0 <= row < h and 0 <= col < w else None)
+    return vals
+
+
 def _koppen_classes(df, koppen_path, koppen_legend):
     if koppen_path and os.path.exists(koppen_path):
         try:
-            from rasterstats import point_query
-            from shapely.geometry import Point
+            try:
+                from rasterstats import point_query
+                from shapely.geometry import Point
 
-            pts = [Point(x, y) for x, y in zip(df.x, df.y)]
-            vals = point_query(pts, koppen_path)
+                pts = [Point(x, y) for x, y in zip(df.x, df.y)]
+                vals = point_query(pts, koppen_path)
+            except ImportError:
+                vals = _koppen_point_query_builtin(df, koppen_path)
             legend = pd.read_csv(koppen_legend) if koppen_legend else None
             out = []
             for v in vals:

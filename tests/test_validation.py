@@ -104,3 +104,59 @@ def test_time_series_fake_path(tmp_path):
     img = calculate_and_plot_timeline(model=None, root_dir=str(tmp_path / "*.npz"),
                                       size_input=64, mean_patch_size=4)
     assert img.size[0] > 100  # a real PIL image came back
+
+
+def test_builtin_geo_joins_no_geopandas(tmp_path):
+    """The country join (ray-casting point-in-polygon over a GeoJSON layer,
+    incl. a MultiPolygon with a hole) and the Köppen raster point query run
+    with neither geopandas nor rasterstats installed."""
+    import json
+
+    import pandas as pd
+
+    from nirgan_tpu.data.geotiff import write_geotiff
+    from nirgan_tpu.validation.geo_ablation import append_info_to_df, clean_economy
+
+    # two "countries": a square, and a MultiPolygon with a square hole
+    world = {"type": "FeatureCollection", "features": [
+        {"type": "Feature",
+         "properties": {"SOV_A3": "AAA", "CONTINENT": "Testia",
+                        "ECONOMY": "1. Developed region: G7"},
+         "geometry": {"type": "Polygon",
+                      "coordinates": [[[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]]]}},
+        {"type": "Feature",
+         "properties": {"SOV_A3": "BBB", "CONTINENT": "Testia",
+                        "ECONOMY": "6. Developing region"},
+         "geometry": {"type": "MultiPolygon", "coordinates": [
+             [[[20, 0], [30, 0], [30, 10], [20, 10], [20, 0]],       # outer
+              [[24, 4], [26, 4], [26, 6], [24, 6], [24, 4]]],        # hole
+             [[[40, 40], [42, 40], [42, 42], [40, 42], [40, 40]]]]}},
+    ]}
+    world_path = str(tmp_path / "world.geojson")
+    json.dump(world, open(world_path, "w"))
+
+    # Köppen raster: EPSG:4326, 1° pixels covering lon [0,50], lat [0,50]
+    kop = np.zeros((1, 50, 50), np.uint8)
+    kop[0, :, :25] = 3   # west half → class id 3
+    kop[0, :, 25:] = 7   # east half → class id 7
+    kop_path = str(tmp_path / "koppen.tif")
+    write_geotiff(kop_path, kop, pixel_scale=(1.0, 1.0), origin=(0.0, 50.0),
+                  epsg=4326)
+    legend = pd.DataFrame({"id": [3, 7], "Code": ["Cfb", "Dfc"]})
+    legend_path = str(tmp_path / "legend.csv")
+    legend.to_csv(legend_path, index=False)
+
+    df = pd.DataFrame({
+        "x": [5.0, 25.0, 25.0, 41.0, 90.0],   # in-AAA, in-hole, .. , ocean
+        "y": [5.0, 5.0, 2.0, 41.0, 0.0],
+        "val/L1": [0.1, 0.2, 0.3, 0.4, 0.5],
+    })
+    out = append_info_to_df(df, world_path=world_path, koppen_path=kop_path,
+                            koppen_legend=legend_path)
+    assert list(out["Country"]) == ["AAA", "Unknown", "BBB", "BBB", "Unknown"]
+    assert list(out["Continent"])[0] == "Testia"
+    assert list(out["Koppen_Class"]) == ["C", "D", "D", "D", "U"]
+
+    out = clean_economy(out)
+    assert list(out["economy"]) == ["Developed: G7", "Unknown", "Developing",
+                                    "Developing", "Unknown"]
