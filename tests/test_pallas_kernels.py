@@ -2,6 +2,7 @@
 forward + custom-VJP backward vs the XLA implementation and torch."""
 
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 
@@ -60,3 +61,47 @@ def test_bf16_forward_reasonable():
     assert out.dtype == jnp.bfloat16
     o32 = np.asarray(out, np.float32)
     assert abs(o32.mean()) < 0.05 and abs(o32.std() - 1.0) < 0.05
+
+
+@pytest.mark.parametrize("shape", [(2, 38, 46, 64), (1, 70, 70, 64)])
+def test_pallas_head_conv_matches_conv2d(shape):
+    """ops/pallas_head.py: the W-lane blocked-8 head kernel equals the plain
+    valid conv (interpret mode on CPU; TPU-verified in RESULTS.md)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from nirgan_tpu.ops.conv import conv2d
+    from nirgan_tpu.ops.pallas_head import head_conv_pallas, head_conv_supported
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((7, 7, shape[-1], 1)).astype(np.float32)) * 0.1
+    assert head_conv_supported(x.shape, k.shape)
+    ref = conv2d(x, k)
+    with pltpu.force_tpu_interpret_mode():
+        got = head_conv_pallas(x, k)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), rtol=2e-5, atol=2e-5)
+
+
+def test_pallas_head_conv_backward_matches():
+    from jax.experimental.pallas import tpu as pltpu
+
+    from nirgan_tpu.ops.conv import conv2d
+    from nirgan_tpu.ops.pallas_head import head_conv_pallas
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, 30, 30, 64)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((7, 7, 64, 1)).astype(np.float32)) * 0.1
+
+    def loss_ref(x, k):
+        return jnp.sum(jnp.tanh(conv2d(x, k)))
+
+    def loss_pl(x, k):
+        return jnp.sum(jnp.tanh(head_conv_pallas(x, k)))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(x, k)
+    with pltpu.force_tpu_interpret_mode():
+        g_pl = jax.grad(loss_pl, argnums=(0, 1))(x, k)
+    for a, b in zip(g_ref, g_pl):
+        scale = float(np.max(np.abs(np.asarray(a)))) + 1e-12
+        np.testing.assert_allclose(np.asarray(a) / scale, np.asarray(b) / scale,
+                                   rtol=0, atol=1e-5)
