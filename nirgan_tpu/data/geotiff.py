@@ -6,7 +6,8 @@ DN/10000, centroid → EPSG:4326).  Neither rasterio nor tifffile exists in
 this image, so this module implements the needed subset directly:
 
   * :func:`read_geotiff` — classic (non-Big) TIFF, both byte orders,
-    uncompressed, striped or tiled, chunky or planar, uint8/uint16/float32
+    uncompressed or DEFLATE (zlib/Adobe, with the horizontal-differencing
+    predictor), striped or tiled, chunky or planar, uint8/uint16/float32
     samples; returns a CHW array plus the georeferencing
     (``ModelPixelScaleTag``/``ModelTiepointTag``) and the EPSG code from the
     ``GeoKeyDirectoryTag``.
@@ -48,6 +49,7 @@ _TILE_WIDTH = 322
 _TILE_LENGTH = 323
 _TILE_OFFSETS = 324
 _TILE_BYTE_COUNTS = 325
+_PREDICTOR = 317
 _SAMPLE_FORMAT = 339
 _MODEL_PIXEL_SCALE = 33550
 _MODEL_TIEPOINT = 33922
@@ -108,14 +110,35 @@ def read_geotiff(path: str, dn_scale: Optional[float] = None):
     comp = tags.get(_COMPRESSION, (1,))[0]
     planar = tags.get(_PLANAR_CONFIG, (1,))[0]
     sfmt = tags.get(_SAMPLE_FORMAT, (1,))[0]
-    if comp != 1:
-        raise ValueError(f"{path}: compressed TIFF (compression={comp}) not supported")
+    predictor = tags.get(_PREDICTOR, (1,))[0]
+    if comp not in (1, 8, 32946):  # none / DEFLATE / Adobe DEFLATE
+        raise ValueError(f"{path}: compression={comp} not supported "
+                         "(install rasterio for LZW/JPEG)")
+    if predictor not in (1, 2):
+        raise ValueError(f"{path}: predictor={predictor} not supported")
     dtype = {(1, 8): np.uint8, (1, 16): np.uint16, (1, 32): np.uint32,
              (2, 16): np.int16, (2, 32): np.int32,
              (3, 32): np.float32, (3, 64): np.float64}.get((sfmt, bps))
     if dtype is None:
         raise ValueError(f"{path}: unsupported sample format/bits ({sfmt}, {bps})")
     dt = np.dtype(dtype).newbyteorder(bo)
+
+    def segment(off, cnt, n_items, seg_w, seg_spp):
+        """Decode one strip/tile: raw bytes → (optionally inflated,
+        un-predicted) sample array of ``n_items`` values."""
+        if comp == 1:
+            arr = np.frombuffer(buf, dt, n_items, off)
+        else:
+            import zlib
+
+            raw = zlib.decompress(buf[off:off + cnt])
+            arr = np.frombuffer(raw, dt, min(n_items, len(raw) // dt.itemsize))
+        if predictor == 2:
+            rows_ = arr.reshape(-1, seg_w, seg_spp)
+            # horizontal differencing: integrate along the row, wrapping in
+            # the sample dtype (TIFF predictor-2 semantics)
+            arr = np.cumsum(rows_, axis=1, dtype=dt.base).reshape(-1)
+        return arr
 
     if _TILE_OFFSETS in tags:
         tw, tl = tags[_TILE_WIDTH][0], tags[_TILE_LENGTH][0]
@@ -124,19 +147,19 @@ def read_geotiff(path: str, dn_scale: Optional[float] = None):
         tiles_y = (height + tl - 1) // tl
         if planar == 1:
             img = np.zeros((height, width, spp), dt.base)
-            for t, off in enumerate(offs):
+            for t, (off, cnt) in enumerate(zip(offs, counts)):
                 ty, tx = divmod(t, tiles_x)
-                tile = np.frombuffer(buf, dt, tl * tw * spp, off).reshape(tl, tw, spp)
+                tile = segment(off, cnt, tl * tw * spp, tw, spp).reshape(tl, tw, spp)
                 y0, x0 = ty * tl, tx * tw
                 img[y0:y0 + tl, x0:x0 + tw] = tile[:height - y0, :width - x0]
             chw = np.transpose(img, (2, 0, 1))
         else:  # planar == 2: tiles per channel plane
             per = tiles_x * tiles_y
             chw = np.zeros((spp, height, width), dt.base)
-            for t, off in enumerate(offs):
+            for t, (off, cnt) in enumerate(zip(offs, counts)):
                 c, rem = divmod(t, per)
                 ty, tx = divmod(rem, tiles_x)
-                tile = np.frombuffer(buf, dt, tl * tw, off).reshape(tl, tw)
+                tile = segment(off, cnt, tl * tw, tw, 1).reshape(tl, tw)
                 y0, x0 = ty * tl, tx * tw
                 chw[c, y0:y0 + tl, x0:x0 + tw] = tile[:height - y0, :width - x0]
     else:
@@ -144,8 +167,9 @@ def read_geotiff(path: str, dn_scale: Optional[float] = None):
         rps = tags.get(_ROWS_PER_STRIP, (height,))[0]
         if planar == 1:
             rows = []
-            for off, cnt in zip(offs, counts):
-                rows.append(np.frombuffer(buf, dt, cnt // dt.itemsize, off))
+            for s, (off, cnt) in enumerate(zip(offs, counts)):
+                n_rows = min(rps, height - s * rps)
+                rows.append(segment(off, cnt, n_rows * width * spp, width, spp))
             flat = np.concatenate(rows).reshape(height, width, spp)
             chw = np.transpose(flat, (2, 0, 1))
         else:  # planar == 2: strips run through channel planes in order
@@ -155,8 +179,9 @@ def read_geotiff(path: str, dn_scale: Optional[float] = None):
                 rows = []
                 for s in range(strips_per_plane):
                     i = c * strips_per_plane + s
-                    rows.append(np.frombuffer(buf, dt, counts[i] // dt.itemsize,
-                                              offs[i]))
+                    n_rows = min(rps, height - s * rps)
+                    rows.append(segment(offs[i], counts[i], n_rows * width,
+                                        width, 1))
                 planes.append(np.concatenate(rows).reshape(height, width))
             chw = np.stack(planes)
 
@@ -185,9 +210,11 @@ def write_geotiff(path: str, img_chw: np.ndarray, *,
                   pixel_scale: Tuple[float, float] = (10.0, 10.0),
                   origin: Tuple[float, float] = (0.0, 0.0),
                   epsg: int = 4326, planar: bool = False,
-                  rows_per_strip: Optional[int] = None) -> None:
-    """Minimal uncompressed little-endian GeoTIFF writer (chunky or planar
-    striped).  ``origin`` is the (x, y) of the raster's top-left corner."""
+                  rows_per_strip: Optional[int] = None,
+                  deflate: bool = False, predictor: bool = False) -> None:
+    """Minimal little-endian GeoTIFF writer (chunky or planar striped,
+    optional DEFLATE with the horizontal-differencing predictor).
+    ``origin`` is the (x, y) of the raster's top-left corner."""
     img = np.ascontiguousarray(img_chw)
     c, h, w = img.shape
     if img.dtype == np.uint8:
@@ -201,15 +228,27 @@ def write_geotiff(path: str, img_chw: np.ndarray, *,
     itemsize = bps // 8
     rps = rows_per_strip or h
 
+    def encode(rows_arr, seg_spp):
+        arr = rows_arr
+        if predictor:
+            arr = arr.reshape(arr.shape[0], w, seg_spp)
+            arr = np.concatenate([arr[:, :1], np.diff(arr, axis=1)], axis=1)
+        data = np.ascontiguousarray(arr).tobytes()
+        if deflate:
+            import zlib
+
+            data = zlib.compress(data)
+        return data
+
     if planar:
-        payload_planes = [np.ascontiguousarray(img[i]) for i in range(c)]
         strips = []
-        for plane in payload_planes:
+        for i in range(c):
+            plane = np.ascontiguousarray(img[i])
             for y0 in range(0, h, rps):
-                strips.append(plane[y0:y0 + rps].tobytes())
+                strips.append(encode(plane[y0:y0 + rps], 1))
     else:
         hwc = np.ascontiguousarray(np.transpose(img, (1, 2, 0)))
-        strips = [hwc[y0:y0 + rps].tobytes() for y0 in range(0, h, rps)]
+        strips = [encode(hwc[y0:y0 + rps], c) for y0 in range(0, h, rps)]
 
     geo_dir = np.asarray([1, 1, 0, 3,
                           1024, 0, 1, 2 if epsg == 4326 else 1,
@@ -225,7 +264,9 @@ def write_geotiff(path: str, img_chw: np.ndarray, *,
     add(_IMAGE_WIDTH, 4, [w])
     add(_IMAGE_LENGTH, 4, [h])
     add(_BITS_PER_SAMPLE, 3, [bps] * c)
-    add(_COMPRESSION, 3, [1])
+    add(_COMPRESSION, 3, [8 if deflate else 1])
+    if predictor:
+        add(_PREDICTOR, 3, [2])
     add(262, 3, [1])  # photometric: BlackIsZero
     add(_STRIP_OFFSETS, 4, [0] * len(strips))  # patched below
     add(_SAMPLES_PER_PIXEL, 3, [c])

@@ -68,6 +68,7 @@ class Px2PxTask:
         self.opt = config.base_configs
         tpu = tpu_section(config)
         self.compute_dtype = dtype_of(tpu.compute_dtype)
+        self.dn_scale = float(config.Data.get("dn_scale", 10000.0))
         self.param_dtype = dtype_of(tpu.param_dtype)
         self.shape_buckets = sorted(int(b) for b in tpu.shape_buckets)
 
@@ -216,8 +217,8 @@ class Px2PxTask:
         inject = self.satclip and self.satclip_style == "inject"
 
         def step(state: TrainState, batch):
-            rgb = batch["rgb"].astype(self.compute_dtype)
-            nir = batch["nir"]
+            rgb = self._dn_to_reflectance(batch["rgb"], self.compute_dtype)
+            nir = self._dn_to_reflectance(batch["nir"], jnp.float32)
             embeds = batch.get("embeds") if inject else None
             rng, drop_rng = jax.random.split(state.rng)
 
@@ -327,11 +328,13 @@ class Px2PxTask:
         inject = self.satclip and self.satclip_style == "inject"
 
         def step(state, batch):
-            rgb = batch["rgb"].astype(self.compute_dtype)
+            rgb = self._dn_to_reflectance(batch["rgb"], self.compute_dtype)
             embeds = batch.get("embeds") if inject else None
             pred = self.g_apply(state.params_g, rgb, embeds, train=False,
                                 stats=state.stats_g)
-            metrics = calculate_metrics(pred, batch["nir"], phase="val")
+            metrics = calculate_metrics(
+                pred, self._dn_to_reflectance(batch["nir"], jnp.float32),
+                phase="val")
             return pred.astype(jnp.float32), metrics
 
         if mesh is None:
@@ -347,18 +350,43 @@ class Px2PxTask:
 
         ``batch``: {"rgb": (B,3,H,W), "nir": (B,1,H,W) [, "coords": (B,2)]}
         (numpy or jnp, NCHW — the universal contract of SURVEY.md §0.1).
+
+        Integer inputs (uint8/uint16 DN) stay integer through the host→device
+        transfer — half the ingest bytes on a production host (ROADMAP perf
+        bullet; irrelevant through the axon tunnel) — and are scaled DN/10000
+        on device by the first op of the jitted step.
         """
-        rgb = nchw_to_nhwc(np.asarray(batch["rgb"], np.float32))
-        nir = nchw_to_nhwc(np.asarray(batch["nir"], np.float32))
+        rgb = nchw_to_nhwc(self._ingest(batch["rgb"]))
+        nir = nchw_to_nhwc(self._ingest(batch["nir"]))
         if not self.satclip:
             return {"rgb": rgb, "nir": nir}
         coords = np.asarray(batch["coords"], np.float32)
         embeds = self.satclip_model.predict(coords)
         if self.satclip_style == "concat":
+            # the embedding plane concatenates as a float 4th channel, so
+            # DN ingest converts host-side on this route
+            rgb = self._dn_to_reflectance(rgb, np.float32)
             return {"rgb": self._concat_embedding_plane(rgb, embeds), "nir": nir}
         if self.satclip_style == "inject":
             return {"rgb": rgb, "nir": nir, "embeds": jnp.asarray(embeds)}
         raise NotImplementedError("SatClip Style not recognized, choose 'concat' or 'inject'")
+
+    def _ingest(self, x):
+        """Host-side dtype policy: uint8/uint16 DN pass through untouched
+        (half the host→device bytes); everything else becomes float32."""
+        x = np.asarray(x)
+        if x.dtype in (np.uint8, np.uint16):
+            return x
+        return np.asarray(x, np.float32)
+
+    def _dn_to_reflectance(self, x, dtype):
+        """DN → reflectance (x / dn_scale) for integer inputs; floats are
+        already reflectance and only change dtype.  Runs on device when
+        called inside a jitted step (the intended path), or on host for the
+        concat route."""
+        if np.issubdtype(np.dtype(x.dtype), np.integer):
+            return (x.astype(jnp.float32) * (1.0 / self.dn_scale)).astype(dtype)
+        return x.astype(dtype)
 
     def _concat_embedding_plane(self, rgb, embeds):
         """Embedding → image plane → 4th channel (reference

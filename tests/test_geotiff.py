@@ -163,3 +163,18 @@ def test_sr_paired_dataset_reads_geotiff(tmp_path):
     assert item["s2_nir"].shape == (1, 8, 8)
     assert item["id"] == "a"
     assert abs(item["coords"][0] - 9.0) < 1e-4  # UTM 32N central meridian
+
+
+@pytest.mark.parametrize("planar,predictor", [(False, False), (False, True),
+                                              (True, True)])
+def test_deflate_roundtrip(tmp_path, planar, predictor):
+    """DEFLATE(+predictor-2) GeoTIFFs decode without rasterio — the common
+    real-world Sentinel-2 tile encoding."""
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 10000, (4, 15, 12)).astype(np.uint16)
+    p = str(tmp_path / "z.tif")
+    write_geotiff(p, img, epsg=32632, planar=planar, rows_per_strip=4,
+                  deflate=True, predictor=predictor)
+    got, meta = read_geotiff(p)
+    np.testing.assert_array_equal(got, img.astype(np.float32))
+    assert meta["epsg"] == 32632

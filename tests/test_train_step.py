@@ -130,3 +130,31 @@ def test_predict_requires_coords_for_satclip():
     task.bind(task.init_state(seed=0, image_size=32))
     with pytest.raises(ValueError, match="coords"):
         task.predict_step(np.zeros((1, 3, 32, 32), np.float32))
+
+
+def test_uint16_dn_ingest_matches_f32(tmp_path):
+    """uint16-DN batches transfer as integers and are scaled DN/10000 on
+    device inside the step — same losses as the pre-scaled f32 path
+    (ROADMAP 'input ingest' bullet)."""
+    cfg = load_config("configs/config_px2px.yaml")
+    cfg.base_configs.ngf = 8
+    cfg.base_configs.ndf = 8
+    cfg.Data.padding_amount = 2
+    cfg.tpu.compute_dtype = "float32"
+    task = Px2PxTask(cfg)
+    state = task.init_state(seed=0, image_size=32)
+    step = task.make_train_step()
+
+    rng = np.random.default_rng(0)
+    dn = rng.integers(0, 10000, (2, 3, 32, 32)).astype(np.uint16)
+    dn_nir = rng.integers(0, 10000, (2, 1, 32, 32)).astype(np.uint16)
+
+    exd = task.extract_batch({"rgb": dn, "nir": dn_nir})
+    assert exd["rgb"].dtype == np.uint16  # integers survive to device_put
+    _, m_int = step(state, exd)
+
+    exf = task.extract_batch({"rgb": dn.astype(np.float32) / 10000.0,
+                              "nir": dn_nir.astype(np.float32) / 10000.0})
+    _, m_f32 = step(task.init_state(seed=0, image_size=32), exf)
+    for k in ("model_loss/generator_total_loss", "model_loss/discriminator_loss"):
+        assert abs(float(m_int[k]) - float(m_f32[k])) < 1e-5, k
