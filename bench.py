@@ -24,7 +24,7 @@ import time
 
 import numpy as np
 
-BATCH = 32
+BATCH = 64  # bulk-serving batch; b32→b64 measured +3% (RESULTS.md)
 SIZE = 512
 ITERS = 16
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
