@@ -20,6 +20,8 @@ def main():
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--no-hist-match", action="store_true")
     p.add_argument("--plot-dir", default=None)
+    p.add_argument("--mesh", action="store_true",
+                   help="shard serving batches over all local chips")
     args = p.parse_args()
 
     from nirgan_tpu.runtime import setup_runtime
@@ -53,9 +55,14 @@ def main():
 
     dataset = SRPairedDataset(args.data)
     out = args.out or os.path.join(args.data, "synth_nirs")
+    mesh = None
+    if args.mesh:
+        from nirgan_tpu.parallel import create_mesh
+
+        mesh = create_mesh(("data",))
     n = synthesize_dataset(task, dataset, out, batch_size=args.batch_size,
                            match_histograms=not args.no_hist_match,
-                           plot_dir=args.plot_dir)
+                           plot_dir=args.plot_dir, mesh=mesh)
     print(f"wrote {n} synthetic NIR tiles to {out}")
 
 

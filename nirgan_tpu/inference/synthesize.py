@@ -40,7 +40,8 @@ def _writer_loop(q: "queue.Queue", out_path: str):
 def synthesize_dataset(task, dataset, out_path: str, batch_size: int = 8,
                        match_histograms: bool = True,
                        plot_every: int = 10, plot_dir: Optional[str] = None,
-                       num_workers: int = 4, num_writers: int = 4):
+                       num_workers: int = 4, num_writers: int = 4,
+                       mesh=None):
     """Run the generator over an LR/HR paired dataset and write synthetic
     NIR tiles (fp16 .npz, key ``nir`` — reference ``save_image``, ``:49-52``).
 
@@ -54,6 +55,9 @@ def synthesize_dataset(task, dataset, out_path: str, batch_size: int = 8,
 
     ``task``: a bound Px2PxTask (``task.bind(state)`` done by the caller).
     ``dataset``: SRPairedDataset-like items {"lr","hr","s2_nir","coords","id"}.
+    ``mesh``: optional device mesh — the batch is sharded on its ``data``
+    axis (params replicated), scaling bulk serving across chips; ragged
+    batches are padded to the mesh size and trimmed after.
     """
     from nirgan_tpu.data.pipeline import Loader
 
@@ -87,7 +91,14 @@ def synthesize_dataset(task, dataset, out_path: str, batch_size: int = 8,
                 pred = histogram_match(pred, up)
             return pred.astype(jnp.float16)
 
-        return jax.jit(fn)
+        if mesh is None:
+            return jax.jit(fn)
+        from nirgan_tpu.parallel import batch_sharding, replicated_sharding
+
+        repl, data = replicated_sharding(mesh), batch_sharding(mesh)
+        return jax.jit(fn, in_shardings=(repl, repl, data, data,
+                                         data if inject else repl),
+                       out_shardings=data)
 
     n_written = 0
     pending = None  # overlap device compute with host pull of previous batch
@@ -111,9 +122,20 @@ def synthesize_dataset(task, dataset, out_path: str, batch_size: int = 8,
         if task.satclip:
             embeds = jnp.asarray(task.satclip_model.predict(
                 np.asarray(batch["coords"], np.float32)))
+        n_real = hr.shape[0]
+        if mesh is not None:
+            n_dev = int(np.prod(list(mesh.shape.values())))
+            pad_n = -n_real % n_dev
+            if pad_n:  # ragged tail: repeat rows so every shard is populated
+                reps = np.concatenate([np.arange(n_real),
+                                       np.zeros(pad_n, np.int64)])
+                hr, s2 = hr[reps], s2[reps]
+                if embeds is not None:
+                    embeds = embeds[reps]
         h, w = hr.shape[1], hr.shape[2]
         size = task.bucket_for(h, w)
         dev = fused(h, w, size)(task._params_g, task._stats_g, hr, s2, embeds)
+        dev = dev[:n_real]
         if pending is not None:
             flush(pending)
         pending = (dev, batch["id"], batch, v)

@@ -75,3 +75,30 @@ def test_synthesize_dataset_end_to_end(tmp_path):
     z = np.load(os.path.join(out, files[0]))
     assert z["nir"].dtype == np.float16 and z["nir"].shape == (1, 64, 64)
     assert os.path.exists(tmp_path / "plots" / "example_0.png")
+
+
+def test_synthesize_dataset_sharded_matches_single_device(tmp_path):
+    """Mesh-sharded bulk serving (incl. a ragged tail batch padded to the
+    mesh and trimmed) writes the same tiles as single-device."""
+    from nirgan_tpu.parallel import create_mesh
+
+    cfg = load_config("configs/config_px2px.yaml")
+    cfg.base_configs.ngf = 8
+    cfg.base_configs.ndf = 8
+    cfg.Data.padding_amount = 2
+    cfg.tpu.compute_dtype = "float32"
+    cfg.tpu.shape_buckets = [64]
+    task = Px2PxTask(cfg)
+    task.bind(task.init_state(seed=0, image_size=64))
+    ds = _TinySRDataset()  # 5 items, batch 4 → ragged tail of 1
+
+    out1 = str(tmp_path / "single")
+    n1 = synthesize_dataset(task, ds, out1, batch_size=4, plot_dir=None)
+    out2 = str(tmp_path / "mesh")
+    n2 = synthesize_dataset(task, ds, out2, batch_size=4, plot_dir=None,
+                            mesh=create_mesh(("data",)))
+    assert n1 == n2 == 5
+    for f in sorted(os.listdir(out1)):
+        a = np.load(os.path.join(out1, f))["nir"]
+        b = np.load(os.path.join(out2, f))["nir"]
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)  # fp16 tiles
