@@ -7,7 +7,8 @@ with sample panels.
 File contract: a glob of ``*.tif`` (or ``.npz``) whose names carry
 ``<anything>_<YYYYMMDD>T...`` timestamps; files with "SKIP" in the stem are
 ignored (reference ``:36-44``).  Raster reading is gated on
-rasterio/tifffile; ``.npz`` stacks always work.  Without a model, predicted
+rasterio when installed, else the built-in reader (data/geotiff.py); ``.npz``
+stacks always work.  Without a model, predicted
 NIR falls back to ``nir * 1.15`` — the reference's fake-data test path
 (``:91``).
 """
@@ -41,12 +42,11 @@ def _read_stack(path: str):
             return img, (lon, lat)
     except ImportError:
         pass
-    import tifffile
+    from nirgan_tpu.data.geotiff import centroid_lonlat, read_geotiff
 
-    img = tifffile.imread(path)
-    if img.ndim == 3 and img.shape[-1] <= 8:
-        img = np.transpose(img, (2, 0, 1))
-    return img, None
+    img, meta = read_geotiff(path)
+    ll = centroid_lonlat(meta)
+    return img, (float(ll[0]), float(ll[1])) if ll is not None else None
 
 
 def get_pred_nirs_and_info(model=None, root_dir: str = "", size_input: int = 256,

@@ -160,3 +160,20 @@ def test_builtin_geo_joins_no_geopandas(tmp_path):
     out = clean_economy(out)
     assert list(out["economy"]) == ["Developed: G7", "Unknown", "Developing",
                                     "Developing", "Unknown"]
+
+
+def test_time_series_from_geotiff_stack(tmp_path):
+    """NDVI time-series validation over dated GeoTIFFs runs with the
+    built-in reader (reference time_series_validation.py file contract)."""
+    from nirgan_tpu.data.geotiff import write_geotiff
+    from nirgan_tpu.validation.time_series import calculate_and_plot_timeline
+
+    rng = np.random.default_rng(31)
+    for date in ("2023-01-15", "2023-06-15", "2023-12-15"):
+        img = rng.integers(0, 10000, (4, 48, 48)).astype(np.uint16)
+        write_geotiff(str(tmp_path / f"tile_{date}.tif"), img,
+                      pixel_scale=(10.0, 10.0), origin=(399960.0, 5800020.0),
+                      epsg=32632)
+    out = calculate_and_plot_timeline(model=None, root_dir=str(tmp_path / "*.tif"),
+                                      size_input=48)
+    assert out is not None
