@@ -41,7 +41,16 @@ class Loader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  num_workers: int = 0, seed: int = 0, drop_last: bool = True,
-                 prefetch: int = 2):
+                 prefetch: int = 2, process_index: int = 0,
+                 process_count: int = 1):
+        """``process_index``/``process_count``: multi-host input sharding
+        (SURVEY.md §2.9 host-side input parallelism) — every host permutes
+        the SAME epoch order (seeded identically) and takes its strided
+        slice, so the union of all hosts' batches is a disjoint cover of the
+        epoch and per-host batches stay ``batch_size`` (the per-host batch
+        of the global ``data``-sharded step).  Wire from
+        ``jax.process_index()``/``jax.process_count()`` after
+        ``initialize_multihost``."""
         self.dataset = dataset
         self.batch_size = int(batch_size)
         self.shuffle = shuffle
@@ -49,10 +58,12 @@ class Loader:
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = max(1, int(prefetch))
+        self.process_index = int(process_index)
+        self.process_count = max(1, int(process_count))
         self._epoch = 0
 
     def __len__(self):
-        n = len(self.dataset)
+        n = len(self.dataset) // self.process_count
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _batches(self):
@@ -60,6 +71,8 @@ class Loader:
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(idx)
+        if self.process_count > 1:
+            idx = idx[self.process_index::self.process_count]
         nb = len(self)
         for b in range(nb):
             yield idx[b * self.batch_size:(b + 1) * self.batch_size]

@@ -78,8 +78,14 @@ class DataModule:
     def train_dataloader(self) -> Loader:
         if self.native_train_iter is not None:
             return self.native_train_iter
+        import jax
+
+        # multi-host: every process loads only its disjoint shard of each
+        # epoch (identical seeded permutation, strided slice — pipeline.py)
         return Loader(self.train_ds, self.train_batch_size, shuffle=True,
-                      num_workers=self.num_workers, seed=self.seed, drop_last=True)
+                      num_workers=self.num_workers, seed=self.seed, drop_last=True,
+                      process_index=jax.process_index(),
+                      process_count=jax.process_count())
 
     def val_dataloader(self) -> Loader:
         return Loader(self.val_ds, self.val_batch_size, shuffle=False,

@@ -203,3 +203,27 @@ def test_trainer_step_based_validation(tmp_path):
     assert val_steps == [3, 6]  # mid-epoch cadence, no epoch-end double-run
     assert (tmp_path / "sv" / "config.yaml").exists()  # first-validation snapshot
     assert (tmp_path / "sv" / "last").is_dir()
+
+
+def test_loader_multihost_input_sharding():
+    """Per-process input sharding: identical epoch permutation on every
+    host, strided disjoint slices, full cover, per-host batch size kept."""
+    from nirgan_tpu.data.pipeline import Loader
+
+    class _Ds:
+        def __len__(self):
+            return 24
+
+        def __getitem__(self, i):
+            return {"v": np.asarray([i])}
+
+    seen = []
+    for pi in range(3):
+        ld = Loader(_Ds(), batch_size=4, shuffle=True, seed=7,
+                    process_index=pi, process_count=3)
+        batches = list(ld)
+        assert len(ld) == 2 and len(batches) == 2
+        assert all(b["v"].shape == (4, 1) for b in batches)
+        seen.append(np.concatenate([b["v"].ravel() for b in batches]))
+    allv = np.concatenate(seen)
+    assert len(np.unique(allv)) == len(allv)  # disjoint across hosts
