@@ -9,6 +9,8 @@ from __future__ import annotations
 import datetime
 import os
 
+import numpy as np
+
 __all__ = ["create_val_metrics", "run_comparison"]
 
 
@@ -38,6 +40,34 @@ def create_val_metrics(config_path: str, folder: str, dataset=None,
     return spider_validation_callback(task, dataset, satclip=task.satclip,
                                       folder=folder, epoch_no=0,
                                       max_samples=max_samples)
+
+
+def filter_for_countries(df, world_path: str):
+    """Inner spatial filter: keep only samples whose (x, y) falls inside a
+    polygon of the countries layer (reference ``get_results_table.py:149-152``
+    drops ocean/Antarctica points before the radar plots).  Uses geopandas
+    when installed, else the built-in point-in-polygon join for GeoJSON."""
+    try:
+        import geopandas as gpd
+
+        gdf = gpd.GeoDataFrame(df, geometry=gpd.points_from_xy(df.x, df.y),
+                               crs="EPSG:4326")
+        world = gpd.read_file(world_path)
+        import pandas as pd
+
+        return pd.DataFrame(gpd.sjoin(gdf, world, how="inner"))
+    except ImportError:
+        import json
+
+        from nirgan_tpu.validation.geo_ablation import _geom_contains
+
+        with open(world_path) as f:
+            feats = json.load(f).get("features", [])
+        keep = [
+            any(_geom_contains(ft["geometry"], float(x), float(y)) for ft in feats)
+            for x, y in zip(df.x, df.y)
+        ]
+        return df[np.asarray(keep)].reset_index(drop=True)
 
 
 def run_comparison(satclip_config: str, plain_config: str, dataset=None,

@@ -177,3 +177,24 @@ def test_time_series_from_geotiff_stack(tmp_path):
     out = calculate_and_plot_timeline(model=None, root_dir=str(tmp_path / "*.tif"),
                                       size_input=48)
     assert out is not None
+
+
+def test_filter_for_countries_builtin(tmp_path):
+    """Inner country filter drops ocean points without geopandas
+    (reference get_results_table.py:149-152)."""
+    import json
+
+    import pandas as pd
+
+    from nirgan_tpu.validation.results_table import filter_for_countries
+
+    world = {"type": "FeatureCollection", "features": [
+        {"type": "Feature", "properties": {"SOV_A3": "AAA"},
+         "geometry": {"type": "Polygon",
+                      "coordinates": [[[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]]]}}]}
+    wp = str(tmp_path / "w.geojson")
+    json.dump(world, open(wp, "w"))
+    df = pd.DataFrame({"x": [5.0, 50.0, 2.0], "y": [5.0, 5.0, 9.0],
+                       "val/L1": [1.0, 2.0, 3.0]})
+    out = filter_for_countries(df, wp)
+    assert list(out["val/L1"]) == [1.0, 3.0]
