@@ -10,7 +10,7 @@ carried as a mutable collection).
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import numpy as np
 import flax.struct

@@ -6,6 +6,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
+import jax
 from nirgan_tpu.config import load_config
 from nirgan_tpu.inference import histogram_match, synthesize_dataset
 from nirgan_tpu.tasks import Px2PxTask
@@ -102,3 +103,53 @@ def test_synthesize_dataset_sharded_matches_single_device(tmp_path):
         a = np.load(os.path.join(out1, f))["nir"]
         b = np.load(os.path.join(out2, f))["nir"]
         np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)  # fp16 tiles
+
+
+def test_export_generator_roundtrip(tmp_path):
+    """jax.export serving artifact: serialize → (bytes on disk) →
+    deserialize → run equals the live predict path, for both the plain and
+    SatCLIP-inject models."""
+    from nirgan_tpu.inference.export import export_generator, run_exported
+
+    rng = np.random.default_rng(0)
+    rgb = rng.random((2, 3, 32, 32)).astype(np.float32)
+
+    # plain model
+    cfg = load_config("configs/config_px2px.yaml")
+    cfg.base_configs.ngf = 8
+    cfg.base_configs.ndf = 8
+    cfg.Data.padding_amount = 2
+    cfg.tpu.compute_dtype = "float32"
+    task = Px2PxTask(cfg)
+    state = task.init_state(seed=0, image_size=32)
+    params = jax.device_get(state.params_g)
+
+    blob = export_generator(task, params, image_size=32, batch_size=2)
+    path = tmp_path / "gen.stablehlo"
+    path.write_bytes(blob)
+    out = np.asarray(run_exported(path.read_bytes(), params, rgb))
+
+    import jax.numpy as jnp2
+    x = jnp2.transpose(jnp2.asarray(rgb), (0, 2, 3, 1))
+    want = np.transpose(np.asarray(task.g_apply(state.params_g, x, train=False)),
+                        (0, 3, 1, 2))
+    assert out.shape == (2, 1, 32, 32)
+    np.testing.assert_allclose(out, want, rtol=2e-5, atol=2e-5)
+
+    # inject model (embeds argument live)
+    cfg2 = load_config("configs/config_px2px_SatCLIP.yaml")
+    cfg2.base_configs.ngf = 8
+    cfg2.base_configs.ndf = 8
+    cfg2.Data.padding_amount = 2
+    cfg2.tpu.compute_dtype = "float32"
+    task2 = Px2PxTask(cfg2)
+    state2 = task2.init_state(seed=0, image_size=32)
+    params2 = jax.device_get(state2.params_g)
+    embeds = rng.standard_normal((2, 256)).astype(np.float32)
+    blob2 = export_generator(task2, params2, image_size=32, batch_size=2)
+    out2 = np.asarray(run_exported(blob2, params2, rgb, embeds))
+    x2 = jnp2.transpose(jnp2.asarray(rgb), (0, 2, 3, 1))
+    want2 = np.transpose(np.asarray(
+        task2.g_apply(state2.params_g, x2, jnp2.asarray(embeds), train=False)),
+        (0, 3, 1, 2))
+    np.testing.assert_allclose(out2, want2, rtol=2e-5, atol=2e-5)
