@@ -1,11 +1,18 @@
 """Pallas kernel for the generator head conv (7×7, Cin=64 → Cout=1).
 
+STATUS: documented experiment, NOT on the production path — the kernel's MXU
+time beats XLA 3× but the surrounding layout boundaries (input pad, output
+depth-to-space) cost more than the win: 21.9 ms end-to-end vs 16.5 ms for
+the strided-conv head it was meant to replace (full measurement history in
+benchmarks/RESULTS.md).  Kept because the formulation is the building block
+for a future producer-integrated version (u1 emitting W-blocked layout).
+
 With a single output channel the head fills 1/128 of the MXU's output lanes
 no matter how XLA lays it out; the best XLA formulation found (stride-4
-"shifted-copies" conv, ops/blocked_stem.py) still measures ~16.7 ms of the
-512² batch-32 forward (benchmarks/RESULTS.md round 2).  This kernel runs it
-in ~4 ms by computing the factor-8 space-to-depth output (Cout = 8·8 = 64
-parity channels) as plain MXU dots with **zero in-kernel layout changes**:
+"shifted-copies" conv, ops/blocked_stem.py) still measures ~16.5 ms of the
+512² batch-32 forward.  This kernel computes the factor-8 space-to-depth
+output (Cout = 8·8 = 64 parity channels) as plain MXU dots with **zero
+in-kernel layout changes**:
 
   * At the XLA level the padded input is *freely* reshaped to
     (B, Hp, Wp/8, 512) — the W axis pre-blocked into lanes (row-major
