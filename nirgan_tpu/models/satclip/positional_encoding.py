@@ -23,12 +23,14 @@ import math
 from dataclasses import dataclass, field
 
 import numpy as np
+import flax.linen as _nn
 
 from nirgan_tpu.models.satclip.spherical_harmonics import embedding_dim, sh_features
 
 __all__ = [
     "Direct", "Cartesian3D", "Wrap", "Theory", "GridAndSphere",
-    "SphericalHarmonics", "DiscretizedSphericalHarmonics",
+    "SphericalHarmonics",
+    "WeightedSphericalHarmonics", "DiscretizedSphericalHarmonics",
     "get_positional_encoding",
 ]
 
@@ -208,6 +210,45 @@ class DiscretizedSphericalHarmonics:
         w_ceil = frac[:, 0] * (1 - frac[:, 1])
         out = (floor_px * w_floor[None] + ceil_px * w_ceil[None]).T
         return xp.asarray(out)
+
+
+class WeightedSphericalHarmonics(_nn.Module):
+    """Trainable SH encoding (reference
+    ``positional_encoding/spherical_harmonics_weighted.py``): the raw SH
+    basis is mixed into an ``embedding_dim``-wide output by a learnable
+    (L, M, E) coefficient tensor with the reference's triangular storage —
+    including its negative-index quirk ``get_coeffs(l, m<0) = weight[-l, m]``
+    (python wrap-around, replicated verbatim).
+
+    NOTE: dead code upstream — not exported from the reference's
+    ``positional_encoding/__init__`` and unreachable from
+    ``get_positional_encoding`` (and its SH import is the missing generated
+    ylm blob).  Ported for completeness; being trainable, it is a flax
+    module (runs inside jit with the closed-form SH basis), unlike the
+    frozen host-side encodings above."""
+
+    legendre_polys: int = 10
+    embedding_dim: int = 16
+
+    @_nn.compact
+    def __call__(self, lonlat):
+        import jax.numpy as jnp
+
+        L = int(self.legendre_polys)
+        weight = self.param("weight", _nn.initializers.normal(0.33),
+                            (L, L, self.embedding_dim))
+        # C[idx(l, m), e] with idx following sh_features' (l, m) ordering
+        rows = []
+        for l in range(L):
+            for m in range(-l, l + 1):
+                if m >= 0:
+                    rows.append(weight[l, m])
+                else:  # reference: self.weight[-l, m] — wrap-around indexing
+                    rows.append(weight[-l, m])
+        cmat = jnp.stack(rows)                       # (L², E)
+        feats = sh_features(jnp.asarray(lonlat, jnp.float32), L,
+                            "closed-form", xp=jnp)
+        return feats.astype(cmat.dtype) @ cmat
 
 
 def get_positional_encoding(name: str, legendre_polys: int = 10,

@@ -169,3 +169,42 @@ def test_wrapper_loads_real_torch_ckpt(tmp_path):
     assert wrapper.loaded_from == str(path)
     c = _coords(8, seed=10)
     np.testing.assert_allclose(wrapper.predict(c), enc.encode(c), rtol=0, atol=0)
+
+
+def test_weighted_spherical_harmonics():
+    """WeightedSphericalHarmonics: trainable coefficient mixing equals
+    feats @ C where C is built by a verbatim transcription of the
+    reference's get_coeffs triangular/negative-index rule."""
+    import jax
+    import jax.numpy as jnp
+
+    from nirgan_tpu.models.satclip.positional_encoding import (
+        WeightedSphericalHarmonics,
+    )
+    from nirgan_tpu.models.satclip.spherical_harmonics import sh_features
+
+    L, E = 4, 6
+    mod = WeightedSphericalHarmonics(legendre_polys=L, embedding_dim=E)
+    rng = np.random.default_rng(13)
+    pts = rng.uniform([-180, -90], [180, 90], (5, 2)).astype(np.float32)
+    params = mod.init(jax.random.key(0), jnp.asarray(pts))
+    out = mod.apply(params, jnp.asarray(pts))
+    assert out.shape == (5, E)
+
+    w = np.asarray(params["params"]["weight"])
+
+    def get_coeffs(l, m):  # reference spherical_harmonics_weighted.py verbatim
+        if m == 0:
+            return w[l, 0]
+        if m > 0:
+            return w[l, m]
+        return w[-l, m]
+
+    rows = [get_coeffs(l, m) for l in range(L) for m in range(-l, l + 1)]
+    feats = np.asarray(sh_features(pts, L, "closed-form"))
+    want = feats @ np.stack(rows)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-5)
+
+    # trainable end-to-end: gradient flows into the weight
+    g = jax.grad(lambda p: jnp.sum(mod.apply(p, jnp.asarray(pts)) ** 2))(params)
+    assert float(np.abs(np.asarray(g["params"]["weight"])).max()) > 0
