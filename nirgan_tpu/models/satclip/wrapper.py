@@ -18,7 +18,14 @@ import numpy as np
 
 from nirgan_tpu.models.satclip.location_encoder import LocationEncoder
 
-__all__ = ["SatClipWrapper"]
+__all__ = ["SatClipWrapper", "get_satclip_loc_encoder"]
+
+
+def get_satclip_loc_encoder(ckpt_path: str, seed: int = 0) -> LocationEncoder:
+    """Lightweight loader (reference ``load_lightweight.py:5-35``): read
+    ``hyper_parameters`` + the ``nnet``-only state_dict from a Lightning
+    SatCLIP checkpoint and return just the frozen location encoder."""
+    return SatClipWrapper(ckpt_path, seed=seed).encoder
 
 
 class SatClipWrapper:
