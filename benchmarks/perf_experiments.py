@@ -75,14 +75,20 @@ if __name__ == "__main__":
 
 
 def extra():
-    """Post-optimisation variants."""
+    """Round-2 A/B: blocked stem/head vs the round-1 unblocked path, and
+    batch scaling (history in RESULTS.md)."""
     from nirgan_tpu.config import load_config
     from nirgan_tpu.tasks import Px2PxTask
 
     rng = np.random.default_rng(0)
-    xs = [jnp.asarray(rng.random((16, 512, 512, 3), dtype=np.float32))
-          for _ in range(2)]
     cfg = load_config("configs/config_px2px.yaml")
     task = Px2PxTask(cfg)
     p = task.init_state(seed=0, image_size=256).params_g
-    measure(build(task), p, xs, label="OPT pad10 bf16 batch=16")
+    for b in (32, 64):
+        xs = [jnp.asarray(rng.random((b, 512, 512, 3), dtype=np.float32))
+              for _ in range(2)]
+        measure(build(task), p, xs, label=f"BLOCKED stem+head bf16 b{b}")
+    task.netG = task.netG.clone(blocked_stem=False)  # round-1 path
+    xs = [jnp.asarray(rng.random((32, 512, 512, 3), dtype=np.float32))
+          for _ in range(2)]
+    measure(build(task), p, xs, label="unblocked (round-1 path) bf16 b32")
