@@ -37,6 +37,22 @@ from nirgan_tpu.ops.pad import reflect_pad2d
 from nirgan_tpu.ops.resize import resize_bilinear
 
 
+def _use_pallas_head(x_shape, k_shape) -> bool:
+    """Opt-in experimental Pallas head (NIRGAN_PALLAS_HEAD=1, TPU only) —
+    see ops/pallas_head.py for the measured status."""
+    import os
+
+    import jax
+
+    if os.environ.get("NIRGAN_PALLAS_HEAD", "0") != "1":
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    from nirgan_tpu.ops.pallas_head import head_conv_supported
+
+    return head_conv_supported(x_shape, k_shape)
+
+
 def _pad(x, padding_type: str, amount: int = 1):
     if padding_type == "reflect":
         return reflect_pad2d(x, amount)
@@ -189,7 +205,15 @@ class ResnetGenerator(nn.Module):
             # run the conv in space-to-depth layout and interleave only the
             # tiny 1-channel output (ops/blocked_stem.py).
             kh_, bh_ = c1(h, return_params=True)
-            h = conv_valid_blocked(_pad(h, "reflect", 3), kh_, bh_, factor=head_factor)
+            hp = _pad(h, "reflect", 3)
+            if _use_pallas_head(hp.shape, kh_.shape):
+                from nirgan_tpu.ops.pallas_head import head_conv_pallas
+
+                h = head_conv_pallas(hp, kh_)
+                if bh_ is not None:
+                    h = h + bh_.astype(h.dtype)
+            else:
+                h = conv_valid_blocked(hp, kh_, bh_, factor=head_factor)
         else:
             h = _pad(h, "reflect", 3)
             h = c1(h)
