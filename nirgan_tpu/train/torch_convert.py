@@ -22,6 +22,7 @@ import numpy as np
 
 __all__ = [
     "load_torch_state_dict",
+    "clean_checkpoint",
     "convert_resnet_generator",
     "convert_nlayer_discriminator",
     "convert_pixel_discriminator",
@@ -40,6 +41,22 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
     return {k: np.asarray(v.detach().cpu().numpy()) for k, v in sd.items()
             if hasattr(v, "detach")}
+
+
+def clean_checkpoint(checkpoint_path: str, unexpected_keys=()) -> str:
+    """Strip unexpected keys from a torch checkpoint in place (reference
+    ``Px2Px_PL.clean_checkpoint``, ``model/pix2pix.py:118-130``).  Rarely
+    needed here — ``merge_params`` already gives strict=False semantics —
+    but kept for checkpoint-file hygiene parity."""
+    import torch
+
+    ckpt = torch.load(checkpoint_path, map_location="cpu", weights_only=False)
+    for k in unexpected_keys:
+        if k in ckpt.get("state_dict", {}):
+            del ckpt["state_dict"][k]
+    torch.save(ckpt, checkpoint_path)
+    print("Removed unexpected keys from checkpoint: ", list(unexpected_keys))
+    return checkpoint_path
 
 
 def _conv(sd: Mapping[str, np.ndarray], key: str) -> dict:

@@ -227,3 +227,15 @@ def test_loader_multihost_input_sharding():
         seen.append(np.concatenate([b["v"].ravel() for b in batches]))
     allv = np.concatenate(seen)
     assert len(np.unique(allv)) == len(allv)  # disjoint across hosts
+
+
+def test_clean_checkpoint_strips_keys(tmp_path):
+    import torch
+
+    from nirgan_tpu.train.torch_convert import clean_checkpoint, load_torch_state_dict
+
+    path = str(tmp_path / "c.ckpt")
+    torch.save({"state_dict": {"keep": torch.ones(2), "drop": torch.zeros(1)}}, path)
+    clean_checkpoint(path, unexpected_keys=["drop", "absent"])
+    sd = load_torch_state_dict(path)
+    assert sorted(sd) == ["keep"]
