@@ -33,7 +33,8 @@ from typing import Dict, Optional, Tuple
 
 import numpy as np
 
-__all__ = ["read_geotiff", "write_geotiff", "centroid_lonlat", "utm_to_lonlat"]
+__all__ = ["read_geotiff", "read_geotiff_meta", "write_geotiff",
+           "centroid_lonlat", "utm_to_lonlat"]
 
 # TIFF tag ids
 _IMAGE_WIDTH = 256
@@ -384,3 +385,53 @@ def centroid_lonlat(meta: dict) -> Optional[np.ndarray]:
         return np.asarray([cx, cy], np.float32)
     lon, lat = utm_to_lonlat(epsg, cx, cy)
     return np.asarray([float(lon), float(lat)], np.float32)
+
+
+def read_geotiff_meta(path: str) -> dict:
+    """Header-only metadata read (seeks, no pixel decode) — the cheap
+    per-path pass the native input pipeline uses for coords while the C++
+    workers decode pixels."""
+    with open(path, "rb") as f:
+        head = f.read(8)
+        if head[:2] == b"II":
+            bo = "<"
+        elif head[:2] == b"MM":
+            bo = ">"
+        else:
+            raise ValueError(f"{path}: not a TIFF")
+        (ifd_off,) = struct.unpack(bo + "I", head[4:8])
+        f.seek(ifd_off)
+        (n_entries,) = struct.unpack(bo + "H", f.read(2))
+        entries = f.read(12 * n_entries)
+        tags: Dict[int, tuple] = {}
+        deferred = []
+        for i in range(n_entries):
+            e = entries[12 * i:12 * i + 12]
+            tag, typ, count = struct.unpack(bo + "HHI", e[:8])
+            if typ not in _TYPE_FMT or typ == 5:
+                continue
+            size = _TYPE_SIZES[typ] * count
+            if size <= 4:
+                tags[tag] = struct.unpack(bo + str(count) + _TYPE_FMT[typ],
+                                          e[8:8 + size])
+            else:
+                (off,) = struct.unpack(bo + "I", e[8:12])
+                deferred.append((tag, typ, count, size, off))
+        for tag, typ, count, size, off in deferred:
+            f.seek(off)
+            tags[tag] = struct.unpack(bo + str(count) + _TYPE_FMT[typ],
+                                      f.read(size))
+    meta = {"width": tags[_IMAGE_WIDTH][0], "height": tags[_IMAGE_LENGTH][0]}
+    if _MODEL_PIXEL_SCALE in tags:
+        meta["pixel_scale"] = tags[_MODEL_PIXEL_SCALE][:2]
+    if _MODEL_TIEPOINT in tags:
+        meta["tiepoint"] = tags[_MODEL_TIEPOINT][:6]
+    if _GEO_KEY_DIRECTORY in tags:
+        gk = tags[_GEO_KEY_DIRECTORY]
+        for i in range(4, len(gk), 4):
+            key_id, loc, cnt, val = gk[i:i + 4]
+            if key_id == 3072 and loc == 0:
+                meta["epsg"] = val
+            elif key_id == 2048 and loc == 0 and "epsg" not in meta:
+                meta["epsg"] = val
+    return meta

@@ -120,7 +120,8 @@ class NativeNpyDataset:
 
     def __init__(self, base_path: str, image_size: int = 256,
                  batch_size: int = 16, shuffle: bool = True, seed: int = 0,
-                 n_threads: int = 8, drop_last: bool = True):
+                 n_threads: int = 8, drop_last: bool = True,
+                 return_coords: bool = False):
         self.paths = sorted(os.path.join(base_path, f)
                             for f in os.listdir(base_path)
                             if f.lower().endswith(self.SUFFIXES))
@@ -132,7 +133,28 @@ class NativeNpyDataset:
         self.seed = seed
         self.n_threads = n_threads
         self.drop_last = drop_last
+        self.return_coords = bool(return_coords)
+        self._coords = None
         self._epoch = 0
+
+    def _path_coords(self) -> np.ndarray:
+        """(N, 2) lon/lat per path — header-only metadata reads, cached once;
+        the pixel decode stays in the C++ workers.  .npy tiles (no geo
+        header) get (0, 0), like the fake dataset."""
+        if self._coords is None:
+            from nirgan_tpu.data.geotiff import centroid_lonlat, read_geotiff_meta
+
+            out = np.zeros((len(self.paths), 2), np.float32)
+            for i, p in enumerate(self.paths):
+                if p.lower().endswith((".tif", ".tiff")):
+                    try:
+                        ll = centroid_lonlat(read_geotiff_meta(p))
+                        if ll is not None:
+                            out[i] = ll
+                    except Exception:
+                        pass
+            self._coords = out
+        return self._coords
 
     def __len__(self):
         n = len(self.paths)
@@ -145,16 +167,23 @@ class NativeNpyDataset:
         self._epoch += 1
         reader = NativeTileReader([self.paths[i] for i in order],
                                   crop=self.image_size, n_threads=self.n_threads)
+        coords = self._path_coords() if self.return_coords else None
+
+        def emit(buf, idxs):
+            batch = {"rgb": np.stack(buf)[:, :3], "nir": np.stack(buf)[:, 3:4]}
+            if coords is not None:
+                batch["coords"] = coords[order[np.asarray(idxs)]]
+            return batch
+
         try:
-            buf = []
-            for _, tile in reader:
+            buf, idxs = [], []
+            for i, tile in reader:
                 buf.append(tile)
+                idxs.append(i)
                 if len(buf) == self.batch_size:
-                    batch = np.stack(buf)
-                    buf = []
-                    yield {"rgb": batch[:, :3], "nir": batch[:, 3:4]}
+                    yield emit(buf, idxs)
+                    buf, idxs = [], []
             if buf and not self.drop_last:
-                batch = np.stack(buf)
-                yield {"rgb": batch[:, :3], "nir": batch[:, 3:4]}
+                yield emit(buf, idxs)
         finally:
             reader.close()

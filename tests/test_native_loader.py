@@ -134,3 +134,39 @@ def test_native_dataset_over_tiff_folder(tmp_path):
     assert batches[0]["rgb"].shape == (2, 3, 16, 16)
     assert batches[0]["nir"].shape == (2, 1, 16, 16)
     assert float(batches[0]["rgb"].max()) <= 1.0
+
+
+def test_native_dataset_returns_geotiff_coords(tmp_path):
+    """return_coords: header-only geo metadata joins the C++-decoded tiles,
+    matched through the decode-completion reordering — feeds SatCLIP
+    training from the native pipeline."""
+    from nirgan_tpu.data import native_loader
+    from nirgan_tpu.data.geotiff import write_geotiff
+
+    if not native_loader.available():
+        pytest.skip("no C++ toolchain")
+    rng = np.random.default_rng(23)
+    # distinct centroids: easting 500km + i*1km in UTM 32N
+    for i in range(4):
+        ox = 500000.0 + 1000.0 * i - (10 // 2 + 0.5) * 10.0
+        oy = 5000000.0 + (10 // 2 + 0.5) * 10.0
+        img = np.full((4, 10, 10), i * 1000, np.uint16)
+        write_geotiff(str(tmp_path / f"t{i}.tif"), img, pixel_scale=(10.0, 10.0),
+                      origin=(ox, oy), epsg=32632)
+
+    ds = native_loader.NativeNpyDataset(str(tmp_path), image_size=8,
+                                        batch_size=2, n_threads=2,
+                                        shuffle=True, return_coords=True)
+    from nirgan_tpu.data.geotiff import utm_to_lonlat
+
+    want = {i: utm_to_lonlat(32632, 500000.0 + 1000.0 * i, 5000000.0)
+            for i in range(4)}
+    n = 0
+    for batch in ds:
+        assert batch["coords"].shape == (2, 2)
+        for rgb, c in zip(batch["rgb"], batch["coords"]):
+            i = int(round(rgb[0, 0, 0] * 10000 / 1000))  # tile id from DN
+            assert abs(c[0] - want[i][0]) < 1e-4, (i, c)
+            assert abs(c[1] - want[i][1]) < 1e-4
+            n += 1
+    assert n == 4
