@@ -3,14 +3,17 @@
 // The reference's host-side input parallelism is torch DataLoader workers
 // (configs/config_px2px.yaml:82-84, SURVEY.md §2.9 row 5): Python processes
 // decoding rasters.  This is the native equivalent: a C++ thread pool that
-// reads .npy tiles (uint16 DN or float32 reflectance, CHW) and baseline
-// GeoTIFFs (striped/tiled, chunky/planar, u8/u16/f32 — the contract of
+// reads .npy tiles (uint16 DN or float32 reflectance, CHW) and GeoTIFFs
+// (striped/tiled, chunky/planar, u8/u16/f32, uncompressed/DEFLATE/LZW/
+// PackBits with the horizontal-differencing predictor — the contract of
 // /root/reference/data/SR_dataset_RGB.py), converts DN/10000 → float32,
 // center-crops, and hands fixed-size buffers to Python through a bounded
 // queue — zero Python in the decode path, GIL never held.
 //
-// Build:  g++ -O3 -march=native -shared -fPIC -o libtileio.so tileio.cc -lpthread
+// Build:  g++ -O3 -march=native -shared -fPIC -o libtileio.so tileio.cc -lpthread -lz
 // ABI: C, driven via ctypes (nirgan_tpu/data/native_loader.py).
+
+#include <zlib.h>
 
 #include <atomic>
 #include <condition_variable>
@@ -92,10 +95,11 @@ bool read_npy_chw(const std::string& path, std::vector<float>& out,
 
 // ---------------------------------------------------------------- TIFF I/O
 //
-// Baseline classic TIFF (both byte orders), uncompressed, striped or tiled,
-// chunky or planar, uint8/uint16/float32 samples — the C++ twin of the
-// reference-implementation reader in nirgan_tpu/data/geotiff.py (which owns
-// the geo-key handling; this decode path only needs pixels).
+// Classic TIFF (both byte orders), uncompressed / DEFLATE / LZW / PackBits
+// (+ predictor 2), striped or tiled, chunky or planar, uint8/uint16/float32
+// samples — the C++ twin of the reference-implementation reader in
+// nirgan_tpu/data/geotiff.py (which owns the geo-key handling; this decode
+// path only needs pixels).
 
 struct TiffTag {
   uint16_t type = 0;
@@ -108,6 +112,129 @@ static uint16_t rd16(const unsigned char* p, bool be) {
 static uint32_t rd32(const unsigned char* p, bool be) {
   return be ? (uint32_t(p[0]) << 24) | (p[1] << 16) | (p[2] << 8) | p[3]
             : (uint32_t(p[3]) << 24) | (p[2] << 16) | (p[1] << 8) | p[0];
+}
+
+// TIFF LZW (compression=5): MSB-first codes, 9→12 bits, Clear=256, EOI=257,
+// early-change width growth (the decoder widens at (1<<w)-1 table entries).
+static bool lzw_decode(const unsigned char* src, size_t n,
+                       std::vector<unsigned char>& out) {
+  std::vector<int> prefix(4096, -1);
+  std::vector<unsigned char> suffix(4096), first(4096);
+  for (int i = 0; i < 256; ++i) suffix[i] = first[i] = (unsigned char)i;
+  int width = 9, next = 258, prev = -1;
+  size_t bitpos = 0, nbits = n * 8;
+  unsigned char stack[4096];
+  auto emit = [&](int code) {
+    int l = 0, c = code;
+    while (c >= 256) { stack[l++] = suffix[c]; c = prefix[c]; }
+    stack[l++] = suffix[c];
+    while (l) out.push_back(stack[--l]);
+  };
+  for (;;) {
+    if (bitpos + width > nbits) break;  // truncated stream: treat as EOI
+    size_t b = bitpos >> 3;
+    uint32_t chunk = 0;
+    for (int k = 0; k < 4; ++k)
+      chunk = (chunk << 8) | (b + k < n ? src[b + k] : 0);
+    int code = int((chunk >> (32 - int(bitpos & 7) - width)) &
+                   ((1u << width) - 1));
+    bitpos += width;
+    if (code == 257) break;                                  // EOI
+    if (code == 256) { width = 9; next = 258; prev = -1; continue; }
+    if (prev < 0) {
+      if (code >= 256) return false;
+      emit(code);
+      prev = code;
+      continue;
+    }
+    if (code > next || next >= 4096) return false;
+    prefix[next] = prev;
+    suffix[next] = (code == next) ? first[prev] : first[code];
+    first[next] = first[prev];
+    ++next;
+    emit(code);
+    prev = code;
+    if (next == (1 << width) - 1 && width < 12) ++width;
+  }
+  return true;
+}
+
+static void packbits_decode(const unsigned char* src, size_t n,
+                            std::vector<unsigned char>& out) {
+  size_t i = 0;
+  while (i < n) {
+    unsigned char h = src[i++];
+    if (h < 128) {
+      size_t cnt = size_t(h) + 1;
+      if (cnt > n - i) cnt = n - i;
+      out.insert(out.end(), src + i, src + i + cnt);
+      i += cnt;
+    } else if (h > 128 && i < n) {
+      out.insert(out.end(), 257 - h, src[i++]);
+    }  // h == 128: no-op
+  }
+}
+
+// Undo TIFF predictor 2 (horizontal differencing) in place, per row, with
+// the sample dtype's wraparound arithmetic.  row_samples = pixels*spp.
+static void unpredict2(unsigned char* p, size_t n_bytes, int row_samples,
+                       int spp, int item, bool be) {
+  size_t row_bytes = size_t(row_samples) * item;
+  for (size_t r = 0; r + row_bytes <= n_bytes; r += row_bytes) {
+    unsigned char* row = p + r;
+    if (item == 1) {
+      for (int i = spp; i < row_samples; ++i)
+        row[i] = (unsigned char)(row[i] + row[i - spp]);
+    } else {  // item == 2 (uint16)
+      for (int i = spp; i < row_samples; ++i) {
+        uint16_t v = uint16_t(rd16(row + size_t(i - spp) * 2, be) +
+                              rd16(row + size_t(i) * 2, be));
+        if (be) {
+          row[i * 2] = v >> 8;
+          row[i * 2 + 1] = v & 0xFF;
+        } else {
+          row[i * 2] = v & 0xFF;
+          row[i * 2 + 1] = v >> 8;
+        }
+      }
+    }
+  }
+}
+
+// Decompress + un-predict one strip/tile.  On success *base points at
+// `expect` bytes of sample data (into `buf` when a zero-copy view works,
+// else into `seg`).
+static bool decode_segment(const std::vector<unsigned char>& buf,
+                           uint64_t off, uint64_t cnt, int comp, int pred,
+                           int row_samples, int spp, int item, bool be,
+                           size_t expect, std::vector<unsigned char>& seg,
+                           const unsigned char** base) {
+  if (comp == 1) {
+    if (off + expect > buf.size()) return false;
+    if (pred == 1) {
+      *base = &buf[off];
+      return true;
+    }
+    seg.assign(&buf[off], &buf[off] + expect);
+  } else {
+    if (off + cnt > buf.size()) return false;
+    seg.clear();
+    seg.reserve(expect);
+    if (comp == 5) {
+      if (!lzw_decode(&buf[off], cnt, seg)) return false;
+    } else if (comp == 32773) {
+      packbits_decode(&buf[off], cnt, seg);
+    } else {  // 8 / 32946: zlib DEFLATE
+      seg.resize(expect);
+      uLongf dlen = expect;
+      if (uncompress(seg.data(), &dlen, &buf[off], cnt) != Z_OK) return false;
+      seg.resize(dlen);
+    }
+    if (seg.size() < expect) seg.resize(expect, 0);
+  }
+  if (pred == 2) unpredict2(seg.data(), expect, row_samples, spp, item, be);
+  *base = seg.data();
+  return true;
 }
 
 bool read_tiff_chw(const std::string& path, std::vector<float>& out,
@@ -164,12 +291,15 @@ bool read_tiff_chw(const std::string& path, std::vector<float>& out,
   int width = int(get1(256, 0)), height = int(get1(257, 0));
   int spp = int(get1(277, 1)), bps = int(get1(258, 1));
   int comp = int(get1(259, 1)), planar = int(get1(284, 1));
-  int sfmt = int(get1(339, 1));
-  if (!width || !height || comp != 1) return false;
+  int sfmt = int(get1(339, 1)), pred = int(get1(317, 1));
+  if (!width || !height) return false;
+  if (comp != 1 && comp != 5 && comp != 8 && comp != 32773 && comp != 32946)
+    return false;
   bool is_f32 = (sfmt == 3 && bps == 32);
   bool is_u16 = (sfmt == 1 && bps == 16);
   bool is_u8 = (sfmt == 1 && bps == 8);
   if (!is_f32 && !is_u16 && !is_u8) return false;
+  if (pred != 1 && (pred != 2 || is_f32)) return false;
   int item = bps / 8;
 
   auto sample = [&](const unsigned char* p) -> float {
@@ -184,23 +314,33 @@ bool read_tiff_chw(const std::string& path, std::vector<float>& out,
   if ((is_u8 || is_u16) && dn_scale > 0) scale = 1.0f / dn_scale;
 
   out.assign(size_t(spp) * height * width, 0.0f);
+  std::vector<unsigned char> seg;  // scratch, reused across segments
   TiffTag tile_offs;
   if (get(324, &tile_offs)) {  // tiled
     int tw = int(get1(322, 0)), tl = int(get1(323, 0));
     if (!tw || !tl) return false;
+    TiffTag counts;
+    bool have_counts = get(325, &counts);
+    if (comp != 1 && !have_counts) return false;
     int tiles_x = (width + tw - 1) / tw, tiles_y = (height + tl - 1) / tl;
     int per = tiles_x * tiles_y;
     for (size_t t = 0; t < tile_offs.ivals.size(); ++t) {
       uint64_t off = tile_offs.ivals[t];
+      uint64_t cnt = have_counts && t < counts.ivals.size() ? counts.ivals[t] : 0;
       int c0 = planar == 2 ? int(t) / per : 0;
       int rem = planar == 2 ? int(t) % per : int(t);
       int ty = rem / tiles_x, tx = rem % tiles_x;
       int csz = planar == 2 ? 1 : spp;
+      size_t expect = size_t(tl) * tw * csz * item;
+      const unsigned char* base;
+      if (!decode_segment(buf, off, cnt, comp, pred, tw * csz, csz, item, be,
+                          expect, seg, &base))
+        return false;
       for (int y = 0; y < tl && ty * tl + y < height; ++y)
         for (int x = 0; x < tw && tx * tw + x < width; ++x)
           for (int c = 0; c < csz; ++c) {
             const unsigned char* p =
-                &buf[off + (size_t(y) * tw + x) * csz * item + size_t(c) * item];
+                base + (size_t(y) * tw + x) * csz * item + size_t(c) * item;
             out[(size_t(c0 + c) * height + ty * tl + y) * width + tx * tw + x] =
                 sample(p) * scale;
           }
@@ -208,18 +348,29 @@ bool read_tiff_chw(const std::string& path, std::vector<float>& out,
   } else {  // striped
     TiffTag offs;
     if (!get(273, &offs)) return false;
+    TiffTag counts;
+    bool have_counts = get(279, &counts);
+    if (comp != 1 && !have_counts) return false;
     int rps = int(get1(278, height));
     int strips_per_plane = (height + rps - 1) / rps;
     for (size_t s = 0; s < offs.ivals.size(); ++s) {
       uint64_t off = offs.ivals[s];
+      uint64_t cnt = have_counts && s < counts.ivals.size() ? counts.ivals[s] : 0;
       int c0 = planar == 2 ? int(s) / strips_per_plane : 0;
       int row0 = (planar == 2 ? int(s) % strips_per_plane : int(s)) * rps;
       int csz = planar == 2 ? 1 : spp;
-      for (int y = 0; y + row0 < height && y < rps; ++y)
+      int n_rows = rps < height - row0 ? rps : height - row0;
+      if (n_rows <= 0) continue;
+      size_t expect = size_t(n_rows) * width * csz * item;
+      const unsigned char* base;
+      if (!decode_segment(buf, off, cnt, comp, pred, width * csz, csz, item,
+                          be, expect, seg, &base))
+        return false;
+      for (int y = 0; y < n_rows; ++y)
         for (int x = 0; x < width; ++x)
           for (int c = 0; c < csz; ++c) {
             const unsigned char* p =
-                &buf[off + (size_t(y) * width + x) * csz * item + size_t(c) * item];
+                base + (size_t(y) * width + x) * csz * item + size_t(c) * item;
             out[(size_t(c0 + c) * height + row0 + y) * width + x] =
                 sample(p) * scale;
           }

@@ -6,8 +6,9 @@ DN/10000, centroid → EPSG:4326).  Neither rasterio nor tifffile exists in
 this image, so this module implements the needed subset directly:
 
   * :func:`read_geotiff` — classic (non-Big) TIFF, both byte orders,
-    uncompressed or DEFLATE (zlib/Adobe, with the horizontal-differencing
-    predictor), striped or tiled, chunky or planar, uint8/uint16/float32
+    uncompressed, DEFLATE (zlib/Adobe), LZW (MSB-first, early-change), or
+    PackBits, each with the horizontal-differencing predictor, striped or
+    tiled, chunky or planar, uint8/uint16/float32
     samples; returns a CHW array plus the georeferencing
     (``ModelPixelScaleTag``/``ModelTiepointTag``) and the EPSG code from the
     ``GeoKeyDirectoryTag``.
@@ -61,6 +62,139 @@ _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
 _TYPE_FMT = {1: "B", 3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d"}
 
 
+# -------------------------------------------------------------- compression
+#
+# TIFF LZW (compression=5): MSB-first bit packing, 9→12-bit codes,
+# ClearCode=256, EOI=257, with the "early change" convention (the code width
+# grows one code earlier than plain LZW — libtiff/GDAL semantics).  PackBits
+# (compression=32773) is the classic run-length byte scheme.
+
+def _lzw_decode(data: bytes) -> bytes:
+    out = bytearray()
+    n_bits = len(data) * 8
+    width, next_code, bitpos = 9, 258, 0
+    table: list = []
+    prev = b""
+
+    def read_code() -> int:
+        nonlocal bitpos
+        if bitpos + width > n_bits:
+            return 257  # ran off the end: treat as EOI (truncated stream)
+        byte0 = bitpos >> 3
+        chunk = int.from_bytes(data[byte0:byte0 + 4].ljust(4, b"\0"), "big")
+        code = (chunk >> (32 - (bitpos & 7) - width)) & ((1 << width) - 1)
+        bitpos += width
+        return code
+
+    while True:
+        code = read_code()
+        if code == 257:  # EOI
+            break
+        if code == 256:  # Clear
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width, next_code, prev = 9, 258, b""
+            continue
+        if not table:
+            raise ValueError("LZW stream does not start with a Clear code")
+        if not prev:
+            entry = table[code]
+        else:
+            if code < next_code:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("corrupt LZW stream")
+            table.append(prev + entry[:1])
+            next_code += 1
+            # early change: widen one code before the table index overflows
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1
+        out += entry
+        prev = entry
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    out = bytearray()
+    acc, n_acc, width = 0, 0, 9
+
+    def emit(code: int):
+        nonlocal acc, n_acc
+        acc = (acc << width) | code
+        n_acc += width
+        while n_acc >= 8:
+            n_acc -= 8
+            out.append((acc >> n_acc) & 0xFF)
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(256)  # Clear
+    w = b""
+    for byte in data:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = next_code
+        next_code += 1
+        # the decoder's table lags the encoder's by one entry, so with the
+        # early-change convention the encoder widens at 1<<width where the
+        # decoder widens at (1<<width)-1
+        if next_code == 4094:  # table nearly full → reset (early-change slot)
+            emit(256)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+        elif next_code == (1 << width) and width < 12:
+            width += 1
+        w = bytes([byte])
+    if w:
+        emit(table[w])
+    emit(257)  # EOI
+    if n_acc:
+        out.append((acc << (8 - n_acc)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        h = data[i]
+        i += 1
+        if h < 128:  # literal run of h+1 bytes
+            out += data[i:i + h + 1]
+            i += h + 1
+        elif h > 128:  # repeat next byte 257-h times
+            out += data[i:i + 1] * (257 - h)
+            i += 1
+        # h == 128: no-op
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        lit = i
+        while (i < n and i - lit < 128
+               and not (i + 2 < n and data[i] == data[i + 1] == data[i + 2])):
+            i += 1
+        out += bytes([i - lit - 1]) + data[lit:i]
+    return bytes(out)
+
+
+_DECODERS = {5: _lzw_decode, 32773: _packbits_decode}
+
+
 def _read_ifd(buf: bytes, bo: str) -> Dict[int, tuple]:
     (ifd_off,) = struct.unpack(bo + "I", buf[4:8])
     (n_entries,) = struct.unpack(bo + "H", buf[ifd_off:ifd_off + 2])
@@ -112,9 +246,9 @@ def read_geotiff(path: str, dn_scale: Optional[float] = None):
     planar = tags.get(_PLANAR_CONFIG, (1,))[0]
     sfmt = tags.get(_SAMPLE_FORMAT, (1,))[0]
     predictor = tags.get(_PREDICTOR, (1,))[0]
-    if comp not in (1, 8, 32946):  # none / DEFLATE / Adobe DEFLATE
+    if comp not in (1, 5, 8, 32773, 32946):  # none/LZW/DEFLATE/PackBits/Adobe
         raise ValueError(f"{path}: compression={comp} not supported "
-                         "(install rasterio for LZW/JPEG)")
+                         "(install rasterio for JPEG/CCITT)")
     if predictor not in (1, 2):
         raise ValueError(f"{path}: predictor={predictor} not supported")
     dtype = {(1, 8): np.uint8, (1, 16): np.uint16, (1, 32): np.uint32,
@@ -130,9 +264,12 @@ def read_geotiff(path: str, dn_scale: Optional[float] = None):
         if comp == 1:
             arr = np.frombuffer(buf, dt, n_items, off)
         else:
-            import zlib
+            if comp in _DECODERS:
+                raw = _DECODERS[comp](buf[off:off + cnt])
+            else:
+                import zlib
 
-            raw = zlib.decompress(buf[off:off + cnt])
+                raw = zlib.decompress(buf[off:off + cnt])
             arr = np.frombuffer(raw, dt, min(n_items, len(raw) // dt.itemsize))
         if predictor == 2:
             rows_ = arr.reshape(-1, seg_w, seg_spp)
@@ -212,10 +349,15 @@ def write_geotiff(path: str, img_chw: np.ndarray, *,
                   origin: Tuple[float, float] = (0.0, 0.0),
                   epsg: int = 4326, planar: bool = False,
                   rows_per_strip: Optional[int] = None,
-                  deflate: bool = False, predictor: bool = False) -> None:
+                  deflate: bool = False, predictor: bool = False,
+                  compression: Optional[str] = None) -> None:
     """Minimal little-endian GeoTIFF writer (chunky or planar striped,
-    optional DEFLATE with the horizontal-differencing predictor).
-    ``origin`` is the (x, y) of the raster's top-left corner."""
+    optional DEFLATE / LZW / PackBits with the horizontal-differencing
+    predictor).  ``origin`` is the (x, y) of the raster's top-left corner;
+    ``deflate=True`` is shorthand for ``compression='deflate'``."""
+    if compression is None:
+        compression = "deflate" if deflate else "none"
+    comp_tag = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}[compression]
     img = np.ascontiguousarray(img_chw)
     c, h, w = img.shape
     if img.dtype == np.uint8:
@@ -235,10 +377,14 @@ def write_geotiff(path: str, img_chw: np.ndarray, *,
             arr = arr.reshape(arr.shape[0], w, seg_spp)
             arr = np.concatenate([arr[:, :1], np.diff(arr, axis=1)], axis=1)
         data = np.ascontiguousarray(arr).tobytes()
-        if deflate:
+        if compression == "deflate":
             import zlib
 
             data = zlib.compress(data)
+        elif compression == "lzw":
+            data = _lzw_encode(data)
+        elif compression == "packbits":
+            data = _packbits_encode(data)
         return data
 
     if planar:
@@ -265,7 +411,7 @@ def write_geotiff(path: str, img_chw: np.ndarray, *,
     add(_IMAGE_WIDTH, 4, [w])
     add(_IMAGE_LENGTH, 4, [h])
     add(_BITS_PER_SAMPLE, 3, [bps] * c)
-    add(_COMPRESSION, 3, [8 if deflate else 1])
+    add(_COMPRESSION, 3, [comp_tag])
     if predictor:
         add(_PREDICTOR, 3, [2])
     add(262, 3, [1])  # photometric: BlackIsZero

@@ -39,7 +39,7 @@ def _load_lib():
                 os.makedirs(_BUILD, exist_ok=True)
                 subprocess.run(
                     ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                     "-o", _LIB_PATH, _SRC, "-lpthread"],
+                     "-o", _LIB_PATH, _SRC, "-lpthread", "-lz"],
                     check=True, capture_output=True)
             lib = ctypes.CDLL(_LIB_PATH)
             lib.tileio_create.restype = ctypes.c_void_p

@@ -178,3 +178,49 @@ def test_deflate_roundtrip(tmp_path, planar, predictor):
     got, meta = read_geotiff(p)
     np.testing.assert_array_equal(got, img.astype(np.float32))
     assert meta["epsg"] == 32632
+
+
+@pytest.mark.parametrize("compression,planar,predictor", [
+    ("lzw", False, False), ("lzw", False, True), ("lzw", True, True),
+    ("packbits", False, False), ("packbits", True, False),
+])
+def test_lzw_packbits_roundtrip(tmp_path, compression, planar, predictor):
+    """LZW (early-change) and PackBits GeoTIFFs decode without rasterio."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 10000, (4, 21, 14)).astype(np.uint16)
+    p = str(tmp_path / "c.tif")
+    write_geotiff(p, img, epsg=32632, planar=planar, rows_per_strip=6,
+                  predictor=predictor, compression=compression)
+    got, meta = read_geotiff(p)
+    np.testing.assert_array_equal(got, img.astype(np.float32))
+    assert meta["epsg"] == 32632
+
+
+def test_lzw_width_growth_and_table_reset(tmp_path):
+    """A highly compressible large image drives the LZW code width through
+    9→12 bits and across the 4094-entry table reset."""
+    img = (np.arange(512 * 600, dtype=np.int64) % 97).astype(np.uint8)
+    img = img.reshape(1, 512, 600)
+    p = str(tmp_path / "big.tif")
+    write_geotiff(p, img, compression="lzw")
+    got, _ = read_geotiff(p)
+    np.testing.assert_array_equal(got, img.astype(np.float32))
+
+
+@pytest.mark.parametrize("compression", ["tiff_lzw", "packbits"])
+def test_lzw_cross_check_against_pillow(tmp_path, compression):
+    """Both directions against an independent TIFF codec (Pillow): our
+    writer's streams decode in PIL, and PIL-encoded streams decode here."""
+    PIL = pytest.importorskip("PIL.Image")
+    rng = np.random.default_rng(12)
+    a = rng.integers(0, 255, (40, 50)).astype(np.uint8)
+
+    ours = str(tmp_path / "ours.tif")
+    write_geotiff(ours, a[None],
+                  compression={"tiff_lzw": "lzw", "packbits": "packbits"}[compression])
+    np.testing.assert_array_equal(np.asarray(PIL.open(ours)), a)
+
+    theirs = str(tmp_path / "theirs.tif")
+    PIL.fromarray(a).save(theirs, compression=compression)
+    got, _ = read_geotiff(theirs)
+    np.testing.assert_array_equal(got[0], a.astype(np.float32))

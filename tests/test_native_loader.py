@@ -170,3 +170,33 @@ def test_native_dataset_returns_geotiff_coords(tmp_path):
             assert abs(c[1] - want[i][1]) < 1e-4
             n += 1
     assert n == 4
+
+
+@pytest.mark.parametrize("compression,predictor", [
+    ("deflate", False), ("deflate", True), ("lzw", False), ("lzw", True),
+    ("packbits", False),
+])
+def test_native_reader_decodes_compressed_geotiff(tmp_path, compression,
+                                                  predictor):
+    """The C++ decode path handles DEFLATE/LZW/PackBits (+predictor-2)
+    streams identically to the Python reference reader."""
+    from nirgan_tpu.data import native_loader
+    from nirgan_tpu.data.geotiff import read_geotiff, write_geotiff
+
+    if not native_loader.available():
+        pytest.skip("no C++ toolchain")
+    rng = np.random.default_rng(31)
+    paths = []
+    for i, planar in enumerate((False, True)):
+        img = rng.integers(0, 10000, (4, 24, 24)).astype(np.uint16)
+        p = str(tmp_path / f"c{i}.tif")
+        write_geotiff(p, img, epsg=32632, planar=planar, rows_per_strip=7,
+                      predictor=predictor, compression=compression)
+        paths.append(p)
+    reader = native_loader.NativeTileReader(paths, crop=24, n_threads=2)
+    got = {idx: tile for idx, tile in reader}
+    reader.close()
+    assert sorted(got) == [0, 1]
+    for i, p in enumerate(paths):
+        ref, _ = read_geotiff(p, dn_scale=10000.0)
+        np.testing.assert_allclose(got[i], ref, rtol=0, atol=1e-6)
