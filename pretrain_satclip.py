@@ -4,7 +4,14 @@ contrastive training of the dual encoder over an S2Geo (image, location)
 dataset.
 
     python pretrain_satclip.py --data data/s100k_npz --steps 10000
+    python pretrain_satclip.py --pack data/s100k_npz --data data/s100k_packed
+    python pretrain_satclip.py --data data/s100k_packed --steps 10000
     python pretrain_satclip.py --fake --steps 50        # smoke mode
+
+``--pack`` bundles a tile folder into mmap-able shards once
+(``pack_s2geo_shards``); packed folders are auto-detected by ``--data``.
+At the reference's 100k-tile corpus scale this replaces per-item file opens
+with page-cached sequential reads.
 """
 
 import argparse
@@ -14,7 +21,12 @@ import time
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--data", default=None, help="folder of .npz tiles (image+point)")
+    p.add_argument("--data", default=None,
+                   help="folder of .npz tiles or packed shards (image+point)")
+    p.add_argument("--pack", default=None, metavar="SRC",
+                   help="pack the .npz tiles under SRC into shards at --data "
+                        "and exit")
+    p.add_argument("--tiles-per-shard", type=int, default=1024)
     p.add_argument("--fake", action="store_true", help="procedural smoke dataset")
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--batch-size", type=int, default=32)
@@ -40,9 +52,19 @@ def main():
     setup_runtime()
 
     from nirgan_tpu.data.pipeline import Loader
-    from nirgan_tpu.data.s2geo import FakeS2GeoDataset, S2GeoDataset
+    from nirgan_tpu.data.s2geo import (FakeS2GeoDataset, PackedS2GeoDataset,
+                                       S2GeoDataset, pack_s2geo_shards)
     from nirgan_tpu.tasks.satclip_pretrain import SatClipPretrainTask
     from nirgan_tpu.utils.loggers import ExperimentLogger
+
+    if args.pack:
+        if not args.data:
+            p.error("--pack requires --data as the output folder")
+        src = S2GeoDataset(args.pack, augment=False, crop=1 << 30)
+        n = pack_s2geo_shards(src, args.data,
+                              tiles_per_shard=args.tiles_per_shard)
+        print(f"packed {len(src)} tiles into {n} shards under {args.data}")
+        return
 
     if args.vision == "resnet":
         vision_layers = tuple(args.resnet_layers)
@@ -62,7 +84,11 @@ def main():
         if not args.fake:
             print("no --data given; using the procedural smoke dataset")
     else:
-        ds = S2GeoDataset(args.data, crop=args.image_size)
+        import os
+
+        packed = any(f.endswith(".images.npy") for f in os.listdir(args.data))
+        ds = (PackedS2GeoDataset(args.data, crop=args.image_size) if packed
+              else S2GeoDataset(args.data, crop=args.image_size))
 
     state = task.init_state(seed=0)
     if args.tower_weights:

@@ -183,3 +183,37 @@ def test_pretrain_resnet_tower_batchstats():
     after = jax.device_get(jax.tree.leaves(state.batch_stats)[0])
     assert np.isfinite(float(m["train_loss"]))
     assert not np.array_equal(before, after)  # running stats updated
+
+
+def test_packed_shards_match_folder_dataset(tmp_path):
+    """pack_s2geo_shards → PackedS2GeoDataset reproduces the per-file
+    S2GeoDataset bit-for-bit (uint16 DN round-trips exactly), and
+    S2GeoDataModule auto-detects a packed folder."""
+    from nirgan_tpu.data.s2geo import (PackedS2GeoDataset, S2GeoDataModule,
+                                       S2GeoDataset, pack_s2geo_shards)
+
+    rng = np.random.default_rng(17)
+    src = tmp_path / "tiles"
+    src.mkdir()
+    for i in range(7):
+        np.savez(src / f"t{i}.npz",
+                 image=rng.integers(0, 10000, (4, 40, 40)).astype(np.uint16),
+                 point=rng.uniform(-90, 90, 2).astype(np.float32))
+
+    folder = S2GeoDataset(str(src), crop=32, seed=3)
+    packed_dir = tmp_path / "packed"
+    n_shards = pack_s2geo_shards(S2GeoDataset(str(src), augment=False,
+                                              crop=1 << 30),
+                                 str(packed_dir), tiles_per_shard=3)
+    assert n_shards == 3  # 3 + 3 + 1
+    packed = PackedS2GeoDataset(str(packed_dir), crop=32, seed=3)
+    assert len(packed) == len(folder) == 7
+    for i in range(7):  # same seed ⇒ identical augmentation stream
+        a, b = folder[i], packed[i]
+        np.testing.assert_array_equal(a["image"], b["image"])
+        np.testing.assert_array_equal(a["point"], b["point"])
+
+    dm = S2GeoDataModule(base_path=str(packed_dir), batch_size=2, crop=32)
+    batch = next(iter(dm.train_dataloader()))
+    assert batch["image"].shape == (2, 4, 32, 32)
+    assert batch["point"].shape == (2, 2)
