@@ -4,6 +4,7 @@ from nirgan_tpu.parallel.mesh import (
     replicated_sharding,
     shard_batch,
     replicate,
+    initialize_multihost,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "replicated_sharding",
     "shard_batch",
     "replicate",
+    "initialize_multihost",
 ]

@@ -54,15 +54,49 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch, axis: str = "data"):
-    """Host arrays → device, batch-sharded across the mesh."""
+    """Host arrays → device, batch-sharded across the mesh.
+
+    Single-process: plain ``device_put``.  Multi-process (the mesh spans
+    devices of other hosts, i.e. after ``initialize_multihost``): each host
+    passes its *local* slice of the global batch — the per-host batch its
+    ``Loader(process_index, process_count)`` yields — and the global array is
+    assembled with ``jax.make_array_from_process_local_data`` (global batch =
+    per-host batch × participating hosts, no cross-host data movement)."""
     s = batch_sharding(mesh, axis)
-    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+    procs = {d.process_index for d in mesh.devices.flat}
+    if len(procs) <= 1:
+        return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+
+    def put(x):
+        x = np.asarray(x)
+        global_shape = (x.shape[0] * len(procs),) + x.shape[1:]
+        return jax.make_array_from_process_local_data(s, x, global_shape)
+
+    return jax.tree.map(put, batch)
 
 
 def replicate(mesh: Mesh, tree):
-    """Host arrays → device, fully replicated (params, opt state)."""
+    """Host arrays → device, fully replicated (params, opt state).
+
+    Multi-process meshes: ``device_put`` refuses non-addressable shardings,
+    so each process fills its local shards from its host copy
+    (``make_array_from_callback``) — every process must hold the same values
+    (e.g. identically-seeded ``init_state``), as with any SPMD framework."""
     s = replicated_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+    procs = {d.process_index for d in mesh.devices.flat}
+    if len(procs) <= 1:
+        return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+
+    def put(x):
+        if jax.dtypes.issubdtype(getattr(x, "dtype", None), jax.dtypes.prng_key):
+            data = np.asarray(jax.device_get(jax.random.key_data(x)))
+            arr = jax.make_array_from_callback(
+                data.shape, s, lambda idx: data[idx])
+            return jax.random.wrap_key_data(arr, impl=jax.random.key_impl(x))
+        x = np.asarray(jax.device_get(x))
+        return jax.make_array_from_callback(x.shape, s, lambda idx: x[idx])
+
+    return jax.tree.map(put, tree)
 
 
 def initialize_multihost(coordinator_address: str | None = None,

@@ -77,9 +77,12 @@ class CheckpointManager:
                 improved = True
         if self.save_last:
             self._ckptr.save(self._path("last"), state, force=True)
-        with open(self._meta_path, "w") as f:
-            json.dump({"best_metric": self.best_metric,
-                       "step": int(jax.device_get(state.step))}, f)
+        if jax.process_index() == 0:
+            # multi-process saves: every process calls save() (orbax
+            # coordinates the sharded write); only one writes the meta file
+            with open(self._meta_path, "w") as f:
+                json.dump({"best_metric": self.best_metric,
+                           "step": int(jax.device_get(state.step))}, f)
         self._ckptr.wait_until_finished()
         return improved
 

@@ -1,0 +1,132 @@
+"""True multi-process distributed training (ROADMAP 'multi-process
+checkpoint coordination').
+
+Round-1 coverage was single-process multi-mesh; these tests spawn TWO real
+``jax.distributed`` processes (gloo CPU collectives, 4 virtual devices
+each) and verify, against an in-process single-host run on the same global
+batches:
+
+  * per-host input sharding (``Loader(process_index, process_count)``) +
+    ``shard_batch``'s ``make_array_from_process_local_data`` path compose to
+    the same global batch,
+  * the fused GAN step's gradient all-reduce across the process boundary
+    gives the single-host losses,
+  * orbax checkpointing coordinates across processes, and the resulting
+    checkpoint restores in a plain single-process run (process-topology
+    portability — preemption may resume on a different host layout).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import jax
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def two_process_run(tmp_path_factory):
+    outdir = str(tmp_path_factory.mktemp("mp"))
+    port = _free_port()
+    env = dict(os.environ,
+               JAX_PLATFORMS="cpu",
+               PYTHONPATH=os.environ.get("PYTHONPATH", "") + os.pathsep + REPO)
+    worker = os.path.join(REPO, "tests", "mp_worker.py")
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(pid), "2", str(port), outdir],
+        cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out.decode())
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+    results = []
+    for pid in range(2):
+        with open(os.path.join(outdir, f"proc{pid}.json")) as f:
+            results.append(json.load(f))
+    return outdir, results
+
+
+def _task():
+    from nirgan_tpu.config import load_config
+    from nirgan_tpu.tasks import Px2PxTask
+
+    cfg = load_config(os.path.join(REPO, "configs/config_px2px.yaml"))
+    cfg.base_configs.ngf = 8
+    cfg.base_configs.ndf = 8
+    cfg.Data.padding_amount = 2
+    cfg.tpu.compute_dtype = "float32"
+    return Px2PxTask(cfg)
+
+
+def test_two_process_losses_agree(two_process_run):
+    _, (r0, r1) = two_process_run
+    # both processes see the all-reduced (global) loss
+    np.testing.assert_allclose(r0["losses"], r1["losses"], rtol=0, atol=1e-6)
+
+
+def test_two_process_matches_single_host(two_process_run):
+    """Re-run the same two global steps in ONE process on the 8 local
+    virtual devices, assembling each global batch as [proc0 slice; proc1
+    slice] exactly as make_array_from_process_local_data laid it out."""
+    from nirgan_tpu.data.datasets import FakeDataset
+    from nirgan_tpu.data.pipeline import Loader
+    from nirgan_tpu.parallel import create_mesh, replicate, shard_batch
+
+    _, (r0, _) = two_process_run
+    task = _task()
+    mesh = create_mesh(("data",))
+    state = replicate(mesh, task.init_state(seed=0, image_size=32))
+    step = task.make_train_step(mesh=mesh)
+
+    ds = FakeDataset(image_size=32, length=32, seed=5)
+    loaders = [iter(Loader(ds, batch_size=4, shuffle=True, seed=7,
+                           process_index=i, process_count=2))
+               for i in range(2)]
+    losses = []
+    for _ in range(2):
+        parts = [task.extract_batch(next(it)) for it in loaders]
+        ex = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *parts)
+        state, metrics = step(state, shard_batch(mesh, ex))
+        losses.append(float(jax.device_get(
+            metrics["model_loss/generator_total_loss"])))
+    # gloo all-reduce vs single-host XLA reduction: order differs → tiny tol
+    np.testing.assert_allclose(losses, r0["losses"], rtol=0, atol=5e-5)
+
+
+def test_multiprocess_checkpoint_restores_single_process(two_process_run):
+    """The checkpoint written under the 2-process topology restores in this
+    plain single-process pytest run and training continues."""
+    from nirgan_tpu.parallel import create_mesh, replicate, shard_batch
+    from nirgan_tpu.data.datasets import FakeDataset
+    from nirgan_tpu.train.checkpoint import CheckpointManager
+
+    outdir, _ = two_process_run
+    task = _task()
+    mesh = create_mesh(("data",))
+    tmpl = replicate(mesh, task.init_state(seed=3, image_size=32))
+    ckpt = CheckpointManager(os.path.join(outdir, "ckpt"))
+    restored = ckpt.restore(tmpl, "last")
+    assert restored is not None
+    assert int(jax.device_get(restored.step)) == 2
+
+    ds = FakeDataset(image_size=32, length=8, seed=9)
+    batch = task.extract_batch(
+        {k: np.stack([ds[i][k] for i in range(8)]) for k in ("rgb", "nir")})
+    step = task.make_train_step(mesh=mesh)
+    restored, m = step(restored, shard_batch(mesh, batch))
+    assert np.isfinite(float(m["model_loss/generator_total_loss"]))
+    assert int(jax.device_get(restored.step)) == 3
