@@ -71,6 +71,10 @@ class Px2PxTask:
         self.dn_scale = float(config.Data.get("dn_scale", 10000.0))
         self.param_dtype = dtype_of(tpu.param_dtype)
         self.shape_buckets = sorted(int(b) for b in tpu.shape_buckets)
+        # reference computes train metrics every 10th batch only
+        # (model/pix2pix.py:183-186); the suite costs 5.8 ms/step at 256² b8
+        # (benchmarks/train_breakdown2.py) so the cadence is a real 15%
+        self.train_metrics_every = int(tpu.get("train_metrics_every", 10))
 
         sc = config.get("satclip", ConfigNode({"use_satclip": False}))
         self.satclip = bool(sc.get("use_satclip", False))
@@ -297,8 +301,23 @@ class Px2PxTask:
             upd_g = jax.tree.map(lambda u: u * state.lr_g, upd_g)
             params_g = jax.tree.map(lambda p, u: p + u, state.params_g, upd_g)
 
-            metrics = {**d_metrics, **g_metrics,
-                       **calculate_metrics(pred_sg, nir, phase="train")}
+            # train-metric cadence (reference: every 10th batch,
+            # pix2pix.py:183).  (step+1) lines up with the trainer's
+            # post-increment log cadence; skipped steps carry NaN, which the
+            # logger drops (the reference simply doesn't log those keys).
+            every = self.train_metrics_every
+            if every <= 1:
+                train_metrics = calculate_metrics(pred_sg, nir, phase="train")
+            else:
+                shapes = jax.eval_shape(
+                    lambda p, n: calculate_metrics(p, n, phase="train"),
+                    pred_sg, nir)
+                train_metrics = jax.lax.cond(
+                    (state.step + 1) % every == 0,
+                    lambda: calculate_metrics(pred_sg, nir, phase="train"),
+                    lambda: {k: jnp.full(v.shape, jnp.nan, v.dtype)
+                             for k, v in shapes.items()})
+            metrics = {**d_metrics, **g_metrics, **train_metrics}
             # learnable conditioning scalars (reference logs them, pix2pix.py:188-192)
             if inject and "scale_param" in params_g:
                 metrics["scale_param"] = params_g["scale_param"]
@@ -337,11 +356,11 @@ class Px2PxTask:
                 phase="val")
             return pred.astype(jnp.float32), metrics
 
-        if mesh is None:
-            return jax.jit(step)
-        repl = replicated_sharding(mesh)
-        data = batch_sharding(mesh)
-        return jax.jit(step, in_shardings=(repl, data), out_shardings=(data, repl))
+        # No pinned shardings: committed inputs carry theirs (state
+        # replicated, batch data-sharded by shard_batch), and leaving them
+        # free lets uneven val batches (reference val batch 5; any tail
+        # batch) run replicated instead of failing mesh divisibility.
+        return jax.jit(step)
 
     # ------------------------------------------------------- host-side API
     def extract_batch(self, batch):

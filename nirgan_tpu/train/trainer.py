@@ -77,12 +77,24 @@ class Trainer:
             jax.config.update("jax_debug_nans", True)
 
         self.mesh = mesh if mesh is not None else create_mesh(("data",))
+        self.is_main = jax.process_index() == 0
         project = cc.Logging.get("wandb_project", "nirgan_tpu")
         if logdir is None:
-            stamp = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+            t0 = time.time()
+            if jax.process_count() > 1:
+                # all processes must agree on the experiment/checkpoint dir
+                from jax.experimental import multihost_utils
+
+                t0 = float(multihost_utils.broadcast_one_to_all(
+                    jnp.asarray(t0, jnp.float64 if jax.config.jax_enable_x64
+                                else jnp.float32)))
+            stamp = datetime.datetime.fromtimestamp(t0).strftime(
+                "%Y-%m-%d_%H-%M-%S")
             logdir = os.path.join("logs", project, stamp)
         self.logdir = logdir
-        self.logger = ExperimentLogger(logdir, project=project)
+        # rank-zero logging, like the reference's PL loggers
+        self.logger = ExperimentLogger(logdir, project=project,
+                                       enabled=self.is_main)
         self.ckpt = CheckpointManager(logdir, monitor=config.Schedulers.metric,
                                       mode="min")
 
@@ -179,6 +191,9 @@ class Trainer:
                     if not np.isfinite(m["model_loss/generator_total_loss"]):
                         raise RuntimeError(
                             f"non-finite generator loss at step {step_no}: {m}")
+                    # NaN marks metrics skipped by the train-metric cadence
+                    # (task.train_metrics_every) — drop, don't log
+                    m = {k: v for k, v in m.items() if np.isfinite(v)}
                     dt = time.perf_counter() - t_window
                     m["perf/images_per_sec"] = n_window / max(dt, 1e-9)
                     m["perf/step_ms"] = 1000.0 * dt / max(n_window / batch_images, 1)
@@ -224,7 +239,7 @@ class Trainer:
         # config snapshot at the first validation (reference saves at epoch 1,
         # model/pix2pix.py:321-324; with step-cadence validation "epoch 1" may
         # be hours away, so first-validation is the faithful generalisation)
-        if not self._config_saved:
+        if not self._config_saved and self.is_main:
             try:
                 save_config(self.config, os.path.join(self.logdir, "config.yaml"))
                 self._config_saved = True
@@ -234,19 +249,21 @@ class Trainer:
         # plateau scheduling on the monitored metric
         monitored = val.get(self.monitor)
         if monitored is not None:
-            repl = replicated_sharding(self.mesh)
             cur_g, cur_d = jax.device_get((state.lr_g, state.lr_d))
             new_g = self.sched_g.step(monitored, float(cur_g))
             new_d = self.sched_d.step(monitored, float(cur_d))
+            # replicate() (not device_put) — multi-process meshes reject
+            # device_put to non-addressable shardings
             state = state.replace(
-                lr_g=jax.device_put(jnp.asarray(new_g, jnp.float32), repl),
-                lr_d=jax.device_put(jnp.asarray(new_d, jnp.float32), repl))
+                lr_g=replicate(self.mesh, jnp.asarray(new_g, jnp.float32)),
+                lr_d=replicate(self.mesh, jnp.asarray(new_d, jnp.float32)))
 
         self.ckpt.save(state, val)
 
         # best-effort offline geo-validation (never kills training,
         # reference model/pix2pix.py:329-344)
-        if self.config.custom_configs.get("experimentation", {}).get("save_val_df"):
+        if (self.is_main and self.config.custom_configs
+                .get("experimentation", {}).get("save_val_df")):
             try:
                 if epoch >= 1:
                     from nirgan_tpu.validation.spider import spider_validation_callback
@@ -260,12 +277,22 @@ class Trainer:
         return state
 
     def _log_val_images(self, batch, pred, ex, step_no):
+        if not self.is_main:
+            return
         try:
             from nirgan_tpu.utils.logging_helpers import plot_index, plot_tensors_hist
 
             rgb = np.asarray(batch["rgb"], np.float32)[:, :3]
             nir = np.asarray(batch["nir"], np.float32)
-            pred_nchw = np.transpose(np.asarray(jax.device_get(pred)), (0, 3, 1, 2))
+            if jax.process_count() > 1:
+                # pred spans hosts; this host's shards line up with its own
+                # `batch` slice — log the local images, trim batch to match
+                pred_local = np.concatenate(
+                    [np.asarray(s.data) for s in pred.addressable_shards])
+                rgb, nir = rgb[:len(pred_local)], nir[:len(pred_local)]
+                pred_nchw = np.transpose(pred_local, (0, 3, 1, 2))
+            else:
+                pred_nchw = np.transpose(np.asarray(jax.device_get(pred)), (0, 3, 1, 2))
             self.logger.log_image("Images/Val NIR",
                                   plot_tensors_hist(rgb, nir, pred_nchw), step_no)
             if self.log_ndvi:

@@ -20,7 +20,26 @@ def small_config(satclip=False):
     cfg.base_configs.ndf = 8
     cfg.Data.padding_amount = 2
     cfg.tpu.compute_dtype = "float32"
+    cfg.tpu.train_metrics_every = 1   # metrics at every step for assertions
     return cfg
+
+
+def test_train_metric_cadence():
+    """Default cadence matches the reference (every 10th batch,
+    model/pix2pix.py:183-186): skipped steps carry NaN for train/* only."""
+    cfg = small_config()
+    cfg.tpu.train_metrics_every = 10
+    task = Px2PxTask(cfg)
+    state = task.init_state(seed=0, image_size=32)
+    step = task.make_train_step()
+    ex = task.extract_batch(fake_batch())
+    for i in range(10):
+        state, m = step(state, ex)
+        computed = (i + 1) % 10 == 0
+        assert np.isfinite(float(m["train/L1"])) == computed, i
+        assert np.isfinite(float(m["train/SSIM"])) == computed, i
+        # losses are never skipped
+        assert np.isfinite(float(m["model_loss/generator_total_loss"]))
 
 
 def fake_batch(b=4, size=32, coords=False, seed=0):

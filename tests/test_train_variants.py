@@ -17,6 +17,7 @@ def _cfg(satclip=False, **overrides):
     cfg.base_configs.ndf = 8
     cfg.Data.padding_amount = 2
     cfg.tpu.compute_dtype = "float32"
+    cfg.tpu.train_metrics_every = 1   # metrics at every step for assertions
     for k, v in overrides.items():
         cfg.base_configs[k] = v
     return cfg
