@@ -63,12 +63,27 @@ def shard_batch(mesh: Mesh, batch, axis: str = "data"):
     assembled with ``jax.make_array_from_process_local_data`` (global batch =
     per-host batch × participating hosts, no cross-host data movement)."""
     s = batch_sharding(mesh, axis)
+    n_shards = int(np.prod([mesh.shape[a] for a in (axis,) if a in mesh.shape]))
     procs = {d.process_index for d in mesh.devices.flat}
     if len(procs) <= 1:
-        return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+        repl = replicated_sharding(mesh)
+
+        def put1(x):
+            # uneven batches (val batch 5, tail batches) can't split over the
+            # mesh — run them replicated instead of failing divisibility
+            target = s if np.shape(x)[0] % n_shards == 0 else repl
+            return jax.device_put(x, target)
+
+        return jax.tree.map(put1, batch)
 
     def put(x):
         x = np.asarray(x)
+        if (x.shape[0] * len(procs)) % n_shards:
+            raise ValueError(
+                f"multi-process batch of global size {x.shape[0] * len(procs)} "
+                f"does not divide over the {n_shards}-way '{axis}' mesh; pick "
+                f"a per-host batch size that is a multiple of "
+                f"{n_shards // len(procs)}")
         global_shape = (x.shape[0] * len(procs),) + x.shape[1:]
         return jax.make_array_from_process_local_data(s, x, global_shape)
 

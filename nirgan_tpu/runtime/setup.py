@@ -37,3 +37,19 @@ def setup_runtime(cache_dir: str | None = None, debug_nans: bool = False,
         jax.config.update("jax_debug_nans", True)
     if matmul_precision:
         jax.config.update("jax_default_matmul_precision", matmul_precision)
+
+    # Multi-host bootstrap for every CLI (SURVEY.md §2.9): on TPU pods
+    # NIRGAN_MULTIHOST=1 auto-discovers; elsewhere give the coordinator
+    # explicitly.  The data layer picks up jax.process_index()/count()
+    # (select_dataset.py) and CheckpointManager coordinates saves.
+    if os.environ.get("NIRGAN_MULTIHOST"):
+        from nirgan_tpu.parallel import initialize_multihost
+
+        coord = os.environ.get("NIRGAN_COORDINATOR")  # "host:port" or unset
+        if coord:
+            initialize_multihost(
+                coordinator_address=coord,
+                num_processes=int(os.environ["NIRGAN_NUM_PROCESSES"]),
+                process_id=int(os.environ["NIRGAN_PROCESS_ID"]))
+        else:
+            initialize_multihost()

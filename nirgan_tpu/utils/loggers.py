@@ -26,8 +26,16 @@ __all__ = ["ExperimentLogger"]
 
 class ExperimentLogger:
     def __init__(self, logdir: str, project: str = "nirgan_tpu",
-                 use_tensorboard: bool = True, use_wandb: bool = True):
+                 use_tensorboard: bool = True, use_wandb: bool = True,
+                 enabled: bool = True):
+        """``enabled=False`` turns every log call into a no-op — multi-host
+        trainers construct the real logger on process 0 only (the reference's
+        PL loggers were likewise rank-zero)."""
         self.logdir = logdir
+        self.enabled = enabled
+        if not enabled:
+            self._jsonl = self._tb = self._wandb = None
+            return
         os.makedirs(logdir, exist_ok=True)
         self._jsonl = open(os.path.join(logdir, "metrics.jsonl"), "a", buffering=1)
 
@@ -51,6 +59,8 @@ class ExperimentLogger:
 
     # ------------------------------------------------------------- scalars
     def log_metrics(self, metrics: dict, step: int):
+        if not self.enabled:
+            return
         clean = {k: float(np.asarray(v)) for k, v in metrics.items()}
         self._jsonl.write(json.dumps({"step": int(step), "time": time.time(),
                                       **clean}) + "\n")
@@ -62,6 +72,8 @@ class ExperimentLogger:
 
     # -------------------------------------------------------------- images
     def log_image(self, tag: str, pil_image, step: int):
+        if not self.enabled:
+            return
         path_dir = os.path.join(self.logdir, "images")
         os.makedirs(path_dir, exist_ok=True)
         safe = tag.replace("/", "_").replace(" ", "_")
@@ -74,6 +86,8 @@ class ExperimentLogger:
             self._wandb.log({tag: wandb.Image(pil_image)}, step=step)
 
     def close(self):
+        if not self.enabled:
+            return
         self._jsonl.close()
         if self._tb is not None:
             self._tb.close()

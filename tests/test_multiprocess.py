@@ -130,3 +130,43 @@ def test_multiprocess_checkpoint_restores_single_process(two_process_run):
     restored, m = step(restored, shard_batch(mesh, batch))
     assert np.isfinite(float(m["model_loss/generator_total_loss"]))
     assert int(jax.device_get(restored.step)) == 3
+
+
+def test_two_process_trainer_fit(tmp_path):
+    """The REAL Trainer.fit() under two jax.distributed processes: broadcast
+    -agreed logdir, rank-zero logging, per-host input slicing, coordinated
+    checkpointing, plateau-LR replication, local-shard image logging."""
+    port = _free_port()
+    outdir = str(tmp_path / "out")
+    os.makedirs(outdir)
+    scratch = str(tmp_path / "cwd")
+    os.makedirs(scratch)
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=os.environ.get("PYTHONPATH", "") + os.pathsep + REPO)
+    worker = os.path.join(REPO, "tests", "mp_trainer_worker.py")
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(pid), "2", str(port), outdir],
+        cwd=scratch, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in range(2)]
+    outs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"trainer worker failed:\n{out[-3000:]}"
+        assert "Error in validation image logging" not in out
+    results = []
+    for pid in range(2):
+        with open(os.path.join(outdir, f"trainer_proc{pid}.json")) as f:
+            results.append(json.load(f))
+    r0, r1 = results
+    assert r0["logdir"] == r1["logdir"]          # broadcast-agreed dir
+    assert r0["is_main"] and not r1["is_main"]
+    assert r0["final_step"] == r1["final_step"] == 3
+    assert r0["has_last_ckpt"] and r0["metrics_jsonl_exists"]
+    # the coordinated checkpoint restores in this single-process run
+    from nirgan_tpu.train.checkpoint import CheckpointManager
+    from nirgan_tpu.parallel import create_mesh, replicate
+
+    task = _task()
+    mesh = create_mesh(("data",))
+    tmpl = replicate(mesh, task.init_state(seed=4, image_size=32))
+    restored = CheckpointManager(r0["logdir"]).restore(tmpl, "last")
+    assert restored is not None and int(jax.device_get(restored.step)) == 3
