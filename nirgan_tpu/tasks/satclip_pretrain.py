@@ -77,7 +77,8 @@ class SatClipPretrainTask:
                  vision_patch_size: int = 32, image_resolution: int = 256,
                  in_channels: int = 4, capacity: int = 256,
                  num_hidden_layers: int = 2, learning_rate: float = 1e-4,
-                 weight_decay: float = 0.01):
+                 weight_decay: float = 0.01,
+                 accumulate_grad_batches: int = 1):
         self.pretrained_head = None
         if isinstance(vision_layers, str) and vision_layers in PRETRAINED_TOWERS:
             # SSL4EO MoCo weights are 13-band Sentinel-2; the reference takes
@@ -100,6 +101,9 @@ class SatClipPretrainTask:
         self.in_channels = in_channels
         self.learning_rate = learning_rate
         self.weight_decay = weight_decay
+        # reference trainer default: accumulate_grad_batches=16
+        # (main.py:131) — one optimizer update per K micro-batches
+        self.accumulate_grad_batches = int(accumulate_grad_batches)
         self._tx = None
 
     # ------------------------------------------------------------------ init
@@ -121,6 +125,9 @@ class SatClipPretrainTask:
                 self._tx,
                 optax.masked(optax.set_to_zero(),
                              _frozen_tower_mask(self.pretrained_head)))
+        if self.accumulate_grad_batches > 1:
+            self._tx = optax.MultiSteps(self._tx,
+                                        self.accumulate_grad_batches)
         return SatClipTrainState(step=jnp.zeros((), jnp.int32), params=params,
                                  batch_stats=batch_stats,
                                  opt=self._tx.init(params), rng=kr)

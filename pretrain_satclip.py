@@ -44,6 +44,16 @@ def main():
     p.add_argument("--pe-type", default="siren")
     p.add_argument("--legendre-polys", type=int, default=10)
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--accumulate", type=int, default=1,
+                   help="gradient-accumulation micro-batches per optimizer "
+                        "update (the reference trainer defaults to 16, "
+                        "main.py:131)")
+    p.add_argument("--val-every", type=int, default=0,
+                   help=">0: hold out every 20th tile and log val_loss every "
+                        "N steps (reference logs val_loss per epoch)")
+    p.add_argument("--val-batches", type=int, default=5)
+    p.add_argument("--ckpt-every", type=int, default=0,
+                   help=">0: save params every N steps (besides the final save)")
     p.add_argument("--out", default="logs/satclip_pretrain")
     args = p.parse_args()
 
@@ -76,7 +86,7 @@ def main():
         embed_dim=args.embed_dim, le_type=args.le_type, pe_type=args.pe_type,
         legendre_polys=args.legendre_polys, vision_layers=vision_layers,
         vision_width=args.vision_width, image_resolution=args.image_size,
-        learning_rate=args.lr)
+        learning_rate=args.lr, accumulate_grad_batches=args.accumulate)
 
     if args.fake or not args.data:
         ds = FakeS2GeoDataset(length=max(args.batch_size * 4, 64),
@@ -96,7 +106,46 @@ def main():
     step = task.make_train_step()
     logger = ExperimentLogger(args.out, project="satclip_pretrain")
 
-    loader = Loader(ds, args.batch_size, shuffle=True, num_workers=4, drop_last=True)
+    import os
+
+    import jax
+    import numpy as np
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckpt_path = os.path.abspath(os.path.join(args.out, "satclip_ckpt"))
+
+    def save_params():
+        ckptr.save(ckpt_path, jax.device_get(state.params), force=True)
+        ckptr.wait_until_finished()
+
+    class _EveryNth:
+        """Deterministic 1-in-20 holdout (the reference's S2GeoDataModule
+        splits train/val at build time; the sampling policy itself is not in
+        the public snapshot)."""
+
+        def __init__(self, base, offset, mod, keep):
+            idx = [i for i in range(len(base)) if (i % mod == offset) == keep]
+            self.base, self.idx = base, idx
+
+        def __len__(self):
+            return len(self.idx)
+
+        def __getitem__(self, i):
+            return self.base[self.idx[i]]
+
+    eval_step = None
+    if args.val_every:
+        train_ds = _EveryNth(ds, 0, 20, keep=False)
+        val_ds = _EveryNth(ds, 0, 20, keep=True)
+        eval_step = task.make_eval_step()
+        val_loader = Loader(val_ds, min(args.batch_size, max(len(val_ds), 1)),
+                            shuffle=False, drop_last=True)
+    else:
+        train_ds = ds
+
+    loader = Loader(train_ds, args.batch_size, shuffle=True, num_workers=4,
+                    drop_last=True)
     n, t0 = 0, time.time()
     while n < args.steps:
         for batch in loader:
@@ -107,18 +156,20 @@ def main():
                 logger.log_metrics({"train_loss": loss}, n)
                 print(json.dumps({"step": n, "train_loss": round(loss, 4),
                                   "elapsed_s": round(time.time() - t0, 1)}))
+            if eval_step is not None and n % args.val_every == 0:
+                losses = [float(eval_step(state, task.extract_batch(vb))["val_loss"])
+                          for vb, _ in zip(val_loader, range(args.val_batches))]
+                if losses:
+                    v = float(np.mean(losses))
+                    logger.log_metrics({"val_loss": v}, n)
+                    print(json.dumps({"step": n, "val_loss": round(v, 4)}))
+            if args.ckpt_every and n % args.ckpt_every == 0:
+                save_params()
             if n >= args.steps:
                 break
 
-    import orbax.checkpoint as ocp
-    import os
-    import jax
-
-    path = os.path.abspath(os.path.join(args.out, "satclip_ckpt"))
-    ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, jax.device_get(state.params), force=True)
-    ckptr.wait_until_finished()
-    print("saved params to", path)
+    save_params()
+    print("saved params to", ckpt_path)
 
 
 if __name__ == "__main__":

@@ -26,10 +26,15 @@ def main():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    from nirgan_tpu.parallel import initialize_multihost
+    # bootstrap through the CLI path (setup_runtime reads NIRGAN_MULTIHOST)
+    os.environ["NIRGAN_MULTIHOST"] = "1"
+    os.environ["NIRGAN_COORDINATOR"] = f"localhost:{port}"
+    os.environ["NIRGAN_NUM_PROCESSES"] = str(nproc)
+    os.environ["NIRGAN_PROCESS_ID"] = str(pid)
+    from nirgan_tpu.runtime import setup_runtime
 
-    initialize_multihost(coordinator_address=f"localhost:{port}",
-                         num_processes=nproc, process_id=pid)
+    setup_runtime(cache_dir=os.path.join(outdir, ".jax_cache"))
+    assert jax.process_count() == nproc
 
     from nirgan_tpu.config import load_config
     from nirgan_tpu.data import dataset_selector

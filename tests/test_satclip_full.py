@@ -217,3 +217,27 @@ def test_packed_shards_match_folder_dataset(tmp_path):
     batch = next(iter(dm.train_dataloader()))
     assert batch["image"].shape == (2, 4, 32, 32)
     assert batch["point"].shape == (2, 2)
+
+
+def test_pretrain_gradient_accumulation():
+    """accumulate_grad_batches=K (reference trainer default 16, main.py:131):
+    params update only every K-th step (optax.MultiSteps)."""
+    from nirgan_tpu.tasks.satclip_pretrain import SatClipPretrainTask
+
+    kw = dict(embed_dim=16, vision_layers=(1, 1, 1, 1), vision_width=8,
+              image_resolution=16, legendre_polys=3)
+    rng = np.random.default_rng(0)
+    batches = [{"image": rng.random((2, 4, 16, 16), np.float32),
+                "point": rng.uniform(-80, 80, (2, 2)).astype(np.float32)}
+               for _ in range(2)]
+
+    task = SatClipPretrainTask(accumulate_grad_batches=2, **kw)
+    state = task.init_state(seed=0)
+    step = task.make_train_step()
+    p0 = jax.device_get(jax.tree.leaves(state.params)[0])
+    state, _ = step(state, task.extract_batch(batches[0]))
+    p1 = jax.device_get(jax.tree.leaves(state.params)[0])
+    np.testing.assert_array_equal(p0, p1)      # accumulating, no update yet
+    state, _ = step(state, task.extract_batch(batches[1]))
+    p2 = jax.device_get(jax.tree.leaves(state.params)[0])
+    assert not np.array_equal(p1, p2)          # K-th step applies the update
