@@ -100,17 +100,25 @@ def main():
         ds = (PackedS2GeoDataset(args.data, crop=args.image_size) if packed
               else S2GeoDataset(args.data, crop=args.image_size))
 
-    state = task.init_state(seed=0)
-    if args.tower_weights:
-        state = task.load_tower_weights(state, args.tower_weights)
-    step = task.make_train_step()
-    logger = ExperimentLogger(args.out, project="satclip_pretrain")
-
     import os
 
     import jax
     import numpy as np
     import orbax.checkpoint as ocp
+
+    from nirgan_tpu.parallel import create_mesh, replicate, shard_batch
+
+    # data-parallel pretraining over all visible devices (multi-host via
+    # NIRGAN_MULTIHOST=1 — the Loader then takes this host's epoch slice)
+    mesh = create_mesh(("data",))
+    is_main = jax.process_index() == 0
+    state = task.init_state(seed=0)
+    if args.tower_weights:
+        state = task.load_tower_weights(state, args.tower_weights)
+    state = replicate(mesh, state)
+    step = task.make_train_step(mesh=mesh)
+    logger = ExperimentLogger(args.out, project="satclip_pretrain",
+                              enabled=is_main)
 
     ckptr = ocp.StandardCheckpointer()
     ckpt_path = os.path.abspath(os.path.join(args.out, "satclip_ckpt"))
@@ -145,11 +153,12 @@ def main():
         train_ds = ds
 
     loader = Loader(train_ds, args.batch_size, shuffle=True, num_workers=4,
-                    drop_last=True)
+                    drop_last=True, process_index=jax.process_index(),
+                    process_count=jax.process_count())
     n, t0 = 0, time.time()
     while n < args.steps:
         for batch in loader:
-            state, m = step(state, task.extract_batch(batch))
+            state, m = step(state, shard_batch(mesh, task.extract_batch(batch)))
             n += 1
             if n % 10 == 0 or n == 1:
                 loss = float(m["train_loss"])
@@ -157,7 +166,9 @@ def main():
                 print(json.dumps({"step": n, "train_loss": round(loss, 4),
                                   "elapsed_s": round(time.time() - t0, 1)}))
             if eval_step is not None and n % args.val_every == 0:
-                losses = [float(eval_step(state, task.extract_batch(vb))["val_loss"])
+                losses = [float(jax.device_get(eval_step(
+                              state, shard_batch(mesh, task.extract_batch(vb))
+                          )["val_loss"]))
                           for vb, _ in zip(val_loader, range(args.val_batches))]
                 if losses:
                     v = float(np.mean(losses))

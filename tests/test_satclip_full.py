@@ -241,3 +241,31 @@ def test_pretrain_gradient_accumulation():
     state, _ = step(state, task.extract_batch(batches[1]))
     p2 = jax.device_get(jax.tree.leaves(state.params)[0])
     assert not np.array_equal(p1, p2)          # K-th step applies the update
+
+
+def test_pretrain_mesh_matches_single_device():
+    """Sharded pretrain step (the CLI's default path) ≡ single-device."""
+    from nirgan_tpu.parallel import create_mesh, replicate, shard_batch
+    from nirgan_tpu.tasks.satclip_pretrain import SatClipPretrainTask
+
+    kw = dict(embed_dim=16, vision_layers=(1, 1, 1, 1), vision_width=8,
+              image_resolution=16, legendre_polys=3)
+    rng = np.random.default_rng(1)
+    batch = {"image": rng.random((8, 4, 16, 16), np.float32),
+             "point": rng.uniform(-80, 80, (8, 2)).astype(np.float32)}
+
+    t1 = SatClipPretrainTask(**kw)
+    s1 = t1.init_state(seed=0)
+    s1, m1 = t1.make_train_step()(s1, t1.extract_batch(batch))
+
+    mesh = create_mesh(("data",))
+    t8 = SatClipPretrainTask(**kw)
+    s8 = replicate(mesh, t8.init_state(seed=0))
+    s8, m8 = t8.make_train_step(mesh=mesh)(
+        s8, shard_batch(mesh, t8.extract_batch(batch)))
+
+    np.testing.assert_allclose(float(m1["train_loss"]), float(m8["train_loss"]),
+                               rtol=2e-5)
+    a = jax.device_get(jax.tree.leaves(s1.params)[0])
+    b = jax.device_get(jax.tree.leaves(s8.params)[0])
+    np.testing.assert_allclose(a, b, atol=2e-6)
