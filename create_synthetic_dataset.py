@@ -57,9 +57,14 @@ def main():
     out = args.out or os.path.join(args.data, "synth_nirs")
     mesh = None
     if args.mesh:
+        import jax
+
         from nirgan_tpu.parallel import create_mesh
 
-        mesh = create_mesh(("data",))
+        # local devices only: multi-host serving shards tiles across hosts
+        # (synthesize_dataset slices the dataset per process) and each host
+        # batches over its own chips — no cross-host collectives
+        mesh = create_mesh(("data",), devices=jax.local_devices())
     n = synthesize_dataset(task, dataset, out, batch_size=args.batch_size,
                            match_histograms=not args.no_hist_match,
                            plot_dir=args.plot_dir, mesh=mesh)

@@ -62,8 +62,12 @@ def synthesize_dataset(task, dataset, out_path: str, batch_size: int = 8,
     from nirgan_tpu.data.pipeline import Loader
 
     os.makedirs(out_path, exist_ok=True)
+    # multi-host bulk serving is embarrassingly parallel: each host takes a
+    # strided slice of the tile list and writes its own outputs; no
+    # collectives (pass a LOCAL-device mesh, each host serving independently)
     loader = Loader(dataset, batch_size, shuffle=False, num_workers=num_workers,
-                    drop_last=False)
+                    drop_last=False, process_index=jax.process_index(),
+                    process_count=jax.process_count())
 
     q: queue.Queue = queue.Queue(maxsize=64)
     writers = [threading.Thread(target=_writer_loop, args=(q, out_path), daemon=True)

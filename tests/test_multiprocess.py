@@ -170,3 +170,51 @@ def test_two_process_trainer_fit(tmp_path):
     tmpl = replicate(mesh, task.init_state(seed=4, image_size=32))
     restored = CheckpointManager(r0["logdir"]).restore(tmpl, "last")
     assert restored is not None and int(jax.device_get(restored.step)) == 3
+
+
+def test_two_process_bulk_serving(tmp_path):
+    """Multi-host bulk serving: each process serves its strided slice of
+    the tile list on a local-device mesh; the union covers every tile and
+    outputs match the single-process pipeline bit-for-bit."""
+    port = _free_port()
+    outdir = str(tmp_path)
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=os.environ.get("PYTHONPATH", "") + os.pathsep + REPO)
+    worker = os.path.join(REPO, "tests", "mp_serve_worker.py")
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(pid), "2", str(port), outdir],
+        cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in range(2)]
+    outs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"serve worker failed:\n{out[-3000:]}"
+    files = sorted(os.listdir(os.path.join(outdir, "synth")))
+    assert files == [f"tile_{i:03d}.npz" for i in range(10)]
+
+    # single-process reference on the same tiles
+    from mp_serve_worker import TinySRDataset
+    from nirgan_tpu.inference import synthesize_dataset
+    single = os.path.join(outdir, "single")
+    task = _task_serving()
+    n = synthesize_dataset(task, TinySRDataset(), single, batch_size=2,
+                           plot_every=10 ** 9)
+    assert n == 10
+    for f in files:
+        a = np.load(os.path.join(outdir, "synth", f))["nir"]
+        b = np.load(os.path.join(single, f))["nir"]
+        np.testing.assert_array_equal(a, b, err_msg=f)
+
+
+def _task_serving():
+    from nirgan_tpu.config import load_config
+    from nirgan_tpu.tasks import Px2PxTask
+
+    cfg = load_config(os.path.join(REPO, "configs/config_px2px.yaml"))
+    cfg.base_configs.ngf = 8
+    cfg.base_configs.ndf = 8
+    cfg.Data.padding_amount = 2
+    cfg.tpu.compute_dtype = "float32"
+    cfg.tpu.shape_buckets = [64]
+    task = Px2PxTask(cfg)
+    task.bind(task.init_state(seed=0, image_size=64))
+    return task
