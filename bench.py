@@ -24,7 +24,7 @@ import time
 
 import numpy as np
 
-BATCH = 64  # bulk-serving batch; b32→b64 measured +3% (RESULTS.md)
+BATCH = 128  # bulk-serving batch; b64→b128 measured +10%, b192 OOMs (RESULTS.md)
 SIZE = 512
 ITERS = 16
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
