@@ -82,12 +82,15 @@ class Trainer:
         if logdir is None:
             t0 = time.time()
             if jax.process_count() > 1:
-                # all processes must agree on the experiment/checkpoint dir
+                # all processes must agree on the experiment/checkpoint dir;
+                # int32 second/microsecond parts keep the stamp exact (f32
+                # would round to ~2-minute granularity → cross-run collisions)
                 from jax.experimental import multihost_utils
 
-                t0 = float(multihost_utils.broadcast_one_to_all(
-                    jnp.asarray(t0, jnp.float64 if jax.config.jax_enable_x64
-                                else jnp.float32)))
+                parts = multihost_utils.broadcast_one_to_all(
+                    jnp.asarray([int(t0) % (1 << 31),
+                                 int((t0 % 1) * 1e6)], jnp.int32))
+                t0 = float(parts[0]) + float(parts[1]) * 1e-6
             stamp = datetime.datetime.fromtimestamp(t0).strftime(
                 "%Y-%m-%d_%H-%M-%S")
             logdir = os.path.join("logs", project, stamp)
