@@ -79,6 +79,14 @@ class Trainer:
         self.mesh = mesh if mesh is not None else create_mesh(("data",))
         self.is_main = jax.process_index() == 0
         project = cc.Logging.get("wandb_project", "nirgan_tpu")
+        # reference resume semantics (train.py:67-71): Model.load_checkpoint
+        # may be a PATH to the run to resume (we take the experiment dir, or
+        # a .../last | .../best inside it), not just a bool
+        lc = cc.Model.get("load_checkpoint")
+        if logdir is None and isinstance(lc, str) and lc:
+            logdir = lc
+            if os.path.basename(logdir.rstrip("/")) in ("last", "best"):
+                logdir = os.path.dirname(logdir.rstrip("/"))
         if logdir is None:
             t0 = time.time()
             if jax.process_count() > 1:

@@ -32,6 +32,9 @@ def main():
     parser.add_argument("--config", required=False, default=None,
                         help="Explicit config path (overrides flag-based selection)")
     parser.add_argument("--max-steps", type=int, default=None)
+    parser.add_argument("--resume", default=None, metavar="RUN_DIR",
+                        help="resume the full train state from a previous "
+                             "experiment dir (sets Model.load_checkpoint)")
     args = parser.parse_args()
     args.satclip = str2bool(args.satclip)
     args.baseline = str2bool(args.baseline)
@@ -60,6 +63,9 @@ def main():
         from nirgan_tpu.tasks import Px2PxTask
 
         task = Px2PxTask(config)
+
+    if args.resume:
+        config.custom_configs.Model.load_checkpoint = args.resume
 
     from nirgan_tpu.data import dataset_selector
     from nirgan_tpu.train.trainer import Trainer
