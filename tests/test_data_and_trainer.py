@@ -239,3 +239,26 @@ def test_clean_checkpoint_strips_keys(tmp_path):
     clean_checkpoint(path, unexpected_keys=["drop", "absent"])
     sd = load_torch_state_dict(path)
     assert sorted(sd) == ["keep"]
+
+
+def test_trainer_resume_by_path(tmp_path):
+    """Reference resume semantics (train.py:67-71): Model.load_checkpoint as
+    a PATH to the previous run dir (or its last/ subdir) — no explicit
+    logdir needed; the run continues in the same experiment dir."""
+    from nirgan_tpu.train.trainer import Trainer
+
+    cfg = _cfg()
+    task = Px2PxTask(cfg)
+    dm = dataset_selector(cfg)
+    run = str(tmp_path / "run")
+    tr = Trainer(task, dm, cfg, logdir=run, max_steps=4,
+                 limit_val_batches=1, log_every=2)
+    tr.fit()
+    assert tr.ckpt.has("last")
+
+    cfg.custom_configs.Model.load_checkpoint = os.path.join(run, "last")
+    tr2 = Trainer(task, dm, cfg, max_steps=8,
+                  limit_val_batches=1, log_every=2)
+    assert os.path.abspath(tr2.logdir) == os.path.abspath(run)
+    state = tr2.fit()
+    assert int(jax.device_get(state.step)) == 8
