@@ -203,8 +203,10 @@ class Trainer:
                         raise RuntimeError(
                             f"non-finite generator loss at step {step_no}: {m}")
                     # NaN marks metrics skipped by the train-metric cadence
-                    # (task.train_metrics_every) — drop, don't log
-                    m = {k: v for k, v in m.items() if np.isfinite(v)}
+                    # (task.train_metrics_every) — drop those; other keys
+                    # (loss terms) stay visible even if non-finite
+                    m = {k: v for k, v in m.items()
+                         if np.isfinite(v) or not k.startswith("train/")}
                     dt = time.perf_counter() - t_window
                     m["perf/images_per_sec"] = n_window / max(dt, 1e-9)
                     m["perf/step_ms"] = 1000.0 * dt / max(n_window / batch_images, 1)
