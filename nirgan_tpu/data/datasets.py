@@ -254,7 +254,10 @@ class SRPairedDataset:
         else:
             from nirgan_tpu.data.geotiff import centroid_lonlat, read_geotiff
 
-            img, meta = read_geotiff(path)
+            # dn_scale: integer DN rasters come back scaled to reflectance
+            # (read_geotiff returns float32, so the integer check below
+            # cannot catch them)
+            img, meta = read_geotiff(path, dn_scale=self.dn_scale)
             coords = centroid_lonlat(meta)  # reference SR_dataset_RGB.py:31-37
         if img.dtype.kind in "ui":
             img = img.astype(np.float32) / self.dn_scale

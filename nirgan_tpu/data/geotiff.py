@@ -217,6 +217,26 @@ def _read_ifd(buf: bytes, bo: str) -> Dict[int, tuple]:
     return tags
 
 
+def _geo_meta(tags: dict, width: int, height: int) -> dict:
+    """Shared geo-metadata extraction (full reader + header-only reader):
+    pixel scale, tiepoint, and EPSG with the 3072-over-2048 precedence."""
+    meta = {"width": width, "height": height}
+    if _MODEL_PIXEL_SCALE in tags:
+        meta["pixel_scale"] = tags[_MODEL_PIXEL_SCALE][:2]
+    if _MODEL_TIEPOINT in tags:
+        meta["tiepoint"] = tags[_MODEL_TIEPOINT][:6]
+    if _GEO_KEY_DIRECTORY in tags:
+        gk = tags[_GEO_KEY_DIRECTORY]
+        for i in range(4, len(gk), 4):
+            key_id, loc, cnt, val = gk[i:i + 4]
+            # ProjectedCSTypeGeoKey (3072) wins over GeographicTypeGeoKey (2048)
+            if key_id == 3072 and loc == 0:
+                meta["epsg"] = val
+            elif key_id == 2048 and loc == 0 and "epsg" not in meta:
+                meta["epsg"] = val
+    return meta
+
+
 def read_geotiff(path: str, dn_scale: Optional[float] = None):
     """Returns ``(img_chw float32, meta)``.
 
@@ -327,21 +347,7 @@ def read_geotiff(path: str, dn_scale: Optional[float] = None):
     if dn_scale and np.issubdtype(dtype, np.integer):
         img /= float(dn_scale)
 
-    meta = {"width": width, "height": height}
-    if _MODEL_PIXEL_SCALE in tags:
-        meta["pixel_scale"] = tags[_MODEL_PIXEL_SCALE][:2]
-    if _MODEL_TIEPOINT in tags:
-        meta["tiepoint"] = tags[_MODEL_TIEPOINT][:6]
-    if _GEO_KEY_DIRECTORY in tags:
-        gk = tags[_GEO_KEY_DIRECTORY]
-        for i in range(4, len(gk), 4):
-            key_id, loc, cnt, val = gk[i:i + 4]
-            # ProjectedCSTypeGeoKey (3072) wins over GeographicTypeGeoKey (2048)
-            if key_id == 3072 and loc == 0:
-                meta["epsg"] = val
-            elif key_id == 2048 and loc == 0 and "epsg" not in meta:
-                meta["epsg"] = val
-    return img, meta
+    return img, _geo_meta(tags, width, height)
 
 
 def write_geotiff(path: str, img_chw: np.ndarray, *,
@@ -397,8 +403,12 @@ def write_geotiff(path: str, img_chw: np.ndarray, *,
         hwc = np.ascontiguousarray(np.transpose(img, (1, 2, 0)))
         strips = [encode(hwc[y0:y0 + rps], c) for y0 in range(0, h, rps)]
 
+    # 3 keys: GTModelType, GTRasterType (PixelIsArea), geodetic/projected CRS
+    # — the count in the header must match the entries (GDAL reads count*4
+    # uint16s and would run past a short directory)
     geo_dir = np.asarray([1, 1, 0, 3,
                           1024, 0, 1, 2 if epsg == 4326 else 1,
+                          1025, 0, 1, 1,
                           (2048 if epsg == 4326 else 3072), 0, 1, epsg],
                          np.uint16)
     pixel_scale_d = np.asarray([pixel_scale[0], pixel_scale[1], 0.0], np.float64)
@@ -567,17 +577,4 @@ def read_geotiff_meta(path: str) -> dict:
             f.seek(off)
             tags[tag] = struct.unpack(bo + str(count) + _TYPE_FMT[typ],
                                       f.read(size))
-    meta = {"width": tags[_IMAGE_WIDTH][0], "height": tags[_IMAGE_LENGTH][0]}
-    if _MODEL_PIXEL_SCALE in tags:
-        meta["pixel_scale"] = tags[_MODEL_PIXEL_SCALE][:2]
-    if _MODEL_TIEPOINT in tags:
-        meta["tiepoint"] = tags[_MODEL_TIEPOINT][:6]
-    if _GEO_KEY_DIRECTORY in tags:
-        gk = tags[_GEO_KEY_DIRECTORY]
-        for i in range(4, len(gk), 4):
-            key_id, loc, cnt, val = gk[i:i + 4]
-            if key_id == 3072 and loc == 0:
-                meta["epsg"] = val
-            elif key_id == 2048 and loc == 0 and "epsg" not in meta:
-                meta["epsg"] = val
-    return meta
+    return _geo_meta(tags, tags[_IMAGE_WIDTH][0], tags[_IMAGE_LENGTH][0])

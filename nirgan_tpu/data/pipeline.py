@@ -63,7 +63,11 @@ class Loader:
         self._epoch = 0
 
     def __len__(self):
-        n = len(self.dataset) // self.process_count
+        # this process's strided slice can hold ceil rather than floor of
+        # N/process_count items — floor dropped the tail tile(s) of uneven
+        # corpora from every host (multi-host serving bug)
+        n = len(range(self.process_index, len(self.dataset),
+                      self.process_count))
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _batches(self):

@@ -88,8 +88,15 @@ class DataModule:
                       process_count=jax.process_count())
 
     def val_dataloader(self) -> Loader:
+        import jax
+
+        # per-process slice like training (PL-DDP uses a DistributedSampler
+        # on val too): without it every host evaluates the full val set and
+        # shard_batch assembles duplicated global batches
         return Loader(self.val_ds, self.val_batch_size, shuffle=False,
-                      num_workers=self.num_workers, drop_last=True)
+                      num_workers=self.num_workers, drop_last=True,
+                      process_index=jax.process_index(),
+                      process_count=jax.process_count())
 
 
 def dataset_selector(config, seed: int = 0) -> DataModule:

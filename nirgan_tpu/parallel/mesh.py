@@ -61,7 +61,12 @@ def shard_batch(mesh: Mesh, batch, axis: str = "data"):
     passes its *local* slice of the global batch — the per-host batch its
     ``Loader(process_index, process_count)`` yields — and the global array is
     assembled with ``jax.make_array_from_process_local_data`` (global batch =
-    per-host batch × participating hosts, no cross-host data movement)."""
+    per-host batch × participating hosts, no cross-host data movement).
+
+    Multi-process callers MUST pass equal-size local batches on every host
+    (use ``drop_last=True`` loaders, as the train/val loaders do): sizes are
+    not cross-checked, and unequal ones would imply inconsistent global
+    shapes across processes."""
     s = batch_sharding(mesh, axis)
     n_shards = int(np.prod([mesh.shape[a] for a in (axis,) if a in mesh.shape]))
     procs = {d.process_index for d in mesh.devices.flat}

@@ -136,8 +136,11 @@ class SatClipPretrainTask:
     def load_tower_weights(self, state: "SatClipTrainState", path: str):
         """Warm-start a ``moco_*`` vision tower from a timm/torchgeo SSL4EO
         state_dict (reference ``load_state_dict(..., strict=False)``,
-        ``model/satclip/model.py:292``): present keys are merged, the fresh
-        head stays (MoCo checkpoints carry no classifier)."""
+        ``model/satclip/model.py:292``): present keys with matching shapes
+        are merged; the fresh head stays (MoCo checkpoints carry no
+        classifier, and a supervised checkpoint's classifier has the wrong
+        width — shape-mismatched leaves are skipped, merge_params
+        semantics)."""
         from nirgan_tpu.train.torch_convert import (
             convert_timm_resnet,
             convert_timm_vit,
@@ -147,28 +150,28 @@ class SatClipPretrainTask:
         if self.pretrained_head is None:
             raise ValueError("tower weights only apply to moco_* vision options")
         sd = load_torch_state_dict(path)
-        if self.pretrained_head == "head":  # ViT
-            params, stats = convert_timm_vit(sd), {}
+        if self.pretrained_head == "head":  # ViT (patch 16): resample the
+            # checkpoint's 224-grid pos_embed to this model's grid
+            n_patches = (self.image_resolution // 16) ** 2
+            params, stats = convert_timm_vit(sd, num_patches=n_patches), {}
         else:
             layers = (2, 2, 2, 2) if "resnet18" in str(self.model.vision_layers) \
                 else (3, 4, 6, 3)
             params, stats = convert_timm_resnet(sd, layers=layers)
 
-        def merge(dst, src):
-            out = dict(dst)
-            for k, v in src.items():
-                out[k] = merge(dst[k], v) if isinstance(v, dict) and k in dst else v
-            return out
+        from nirgan_tpu.train.checkpoint import merge_params
 
         new_params = dict(state.params)
-        new_params["visual"] = merge(state.params["visual"],
-                                     jax.tree.map(jnp.asarray, params))
+        new_params["visual"] = merge_params(
+            jax.device_get(state.params["visual"]), params)
         new_stats = state.batch_stats
         if stats:
             new_stats = dict(state.batch_stats)
-            new_stats["visual"] = merge(state.batch_stats.get("visual", {}),
-                                        jax.tree.map(jnp.asarray, stats))
-        return state.replace(params=new_params, batch_stats=new_stats)
+            new_stats["visual"] = merge_params(
+                jax.device_get(state.batch_stats.get("visual", {})), stats)
+        return state.replace(
+            params=jax.tree.map(jnp.asarray, new_params),
+            batch_stats=jax.tree.map(jnp.asarray, new_stats))
 
     # ----------------------------------------------------------------- batch
     def extract_batch(self, batch):

@@ -224,3 +224,49 @@ def test_lzw_cross_check_against_pillow(tmp_path, compression):
     PIL.fromarray(a).save(theirs, compression=compression)
     got, _ = read_geotiff(theirs)
     np.testing.assert_array_equal(got[0], a.astype(np.float32))
+
+
+def test_srpaired_geotiff_dn_scaling(tmp_path):
+    """SRPairedDataset must scale uint16-DN GeoTIFFs to reflectance
+    (read_geotiff returns float32, so the caller has to pass dn_scale)."""
+    from nirgan_tpu.data.datasets import SRPairedDataset
+    from nirgan_tpu.data.geotiff import write_geotiff
+
+    (tmp_path / "LR").mkdir()
+    (tmp_path / "HR").mkdir()
+    rng = np.random.default_rng(5)
+    lr = rng.integers(0, 10000, (4, 8, 8)).astype(np.uint16)
+    hr = rng.integers(0, 10000, (3, 16, 16)).astype(np.uint16)
+    write_geotiff(str(tmp_path / "LR" / "a.tif"), lr)
+    write_geotiff(str(tmp_path / "HR" / "a.tif"), hr)
+
+    item = SRPairedDataset(str(tmp_path))[0]
+    np.testing.assert_allclose(item["lr"], lr[:3].astype(np.float32) / 10000.0)
+    np.testing.assert_allclose(item["hr"], hr.astype(np.float32) / 10000.0)
+    np.testing.assert_allclose(item["s2_nir"], lr[3:4].astype(np.float32) / 10000.0)
+
+
+def test_geokey_directory_count_matches_entries(tmp_path):
+    """The GeoKeyDirectory header's NumberOfKeys must equal the key entries
+    written (GDAL reads count*4 uint16s past a short directory)."""
+    import struct
+
+    from nirgan_tpu.data.geotiff import _GEO_KEY_DIRECTORY, write_geotiff
+
+    path = str(tmp_path / "k.tif")
+    write_geotiff(path, np.zeros((1, 4, 4), np.float32), epsg=32633)
+    buf = open(path, "rb").read()
+    # parse the IFD for the GeoKeyDirectory tag
+    (off,) = struct.unpack("<I", buf[4:8])
+    (n,) = struct.unpack("<H", buf[off:off + 2])
+    for i in range(n):
+        e = buf[off + 2 + 12 * i: off + 14 + 12 * i]
+        tag, typ, count = struct.unpack("<HHI", e[:8])
+        if tag == _GEO_KEY_DIRECTORY:
+            (doff,) = struct.unpack("<I", e[8:12])
+            gk = struct.unpack(f"<{count}H", buf[doff:doff + 2 * count])
+            n_keys = gk[3]
+            assert len(gk) == 4 + 4 * n_keys, (n_keys, len(gk))
+            break
+    else:
+        raise AssertionError("GeoKeyDirectory tag missing")

@@ -28,3 +28,26 @@ def test_uneven_batch_computes_correctly():
     b = shard_batch(mesh, {"x": x})
     got = float(jax.jit(lambda t: jnp.sum(t["x"] * 2))(b))
     assert got == float(x.sum() * 2)
+
+
+def test_loader_process_slices_cover_uneven_corpus():
+    """Loader(process_index/count) with drop_last=False must yield every
+    item exactly once across hosts, including the ceil-slice tail (floor
+    division dropped the last tile(s) of uneven corpora)."""
+    from nirgan_tpu.data.pipeline import Loader
+
+    class _Idx:
+        def __len__(self):
+            return 9
+
+        def __getitem__(self, i):
+            return {"i": np.asarray([i])}
+
+    seen = []
+    for pi in range(2):
+        ld = Loader(_Idx(), batch_size=4, shuffle=False, drop_last=False,
+                    process_index=pi, process_count=2)
+        got = [int(v) for b in ld for v in b["i"].ravel()]
+        assert len(got) == len(range(pi, 9, 2))
+        seen += got
+    assert sorted(seen) == list(range(9))

@@ -277,3 +277,33 @@ def test_load_tower_weights_merges_strict_false(tmp_path):
     np.testing.assert_allclose(
         np.asarray(state.batch_stats["visual"]["bn1"]["mean"]),
         sd["bn1.running_mean"].numpy(), rtol=1e-6)
+
+
+def test_vit_tower_warm_start_resamples_to_task_resolution(tmp_path):
+    """SatClipPretrainTask.load_tower_weights for a moco_vit16 checkpoint
+    must resample the 224-grid (197-token) pos_embed to the task's
+    image_resolution grid — merging it unresampled crashes the first
+    forward with a broadcast error."""
+    from nirgan_tpu.tasks.satclip_pretrain import SatClipPretrainTask
+
+    torch.manual_seed(13)
+    # true timm vit_small_patch16_224 geometry: dim 384, depth 12, grid 14
+    net = _TorchViT(in_chans=13, patch=16, dim=384, depth=12, heads=6,
+                    num_classes=7, grid=14)
+    path = str(tmp_path / "ssl4eo_vit.pth")
+    # as tensors (load_torch_state_dict keeps tensor-valued entries only)
+    torch.save({k: torch.from_numpy(v) for k, v in
+                net.timm_state_dict().items()}, path)
+
+    task = SatClipPretrainTask(embed_dim=16, vision_layers="moco_vit16",
+                               image_resolution=128, legendre_polys=3)
+    state = task.init_state(seed=0)
+    state = task.load_tower_weights(state, path)
+    grid = (128 // 16) ** 2
+    assert state.params["visual"]["pos_embed"].shape == (1, grid + 1, 384)
+
+    rng = np.random.default_rng(3)
+    batch = {"image": rng.random((2, 13, 128, 128), np.float32),
+             "point": rng.uniform(-80, 80, (2, 2)).astype(np.float32)}
+    _, m = task.make_train_step()(state, task.extract_batch(batch))
+    assert np.isfinite(float(m["train_loss"]))
