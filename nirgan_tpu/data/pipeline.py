@@ -63,12 +63,19 @@ class Loader:
         self._epoch = 0
 
     def __len__(self):
-        # this process's strided slice can hold ceil rather than floor of
-        # N/process_count items — floor dropped the tail tile(s) of uneven
-        # corpora from every host (multi-host serving bug)
+        if self.drop_last:
+            # SPMD lockstep: every host must run the SAME number of batches
+            # (train/val loops issue collective programs per batch), so the
+            # count derives from the host-invariant floor(N/P) — the ragged
+            # tail is dropped on every host, DistributedSampler-style.
+            n = len(self.dataset) // self.process_count
+            return n // self.batch_size
+        # drop_last=False is the collective-free path (bulk serving): this
+        # process's strided slice can hold ceil(N/P) items and every one
+        # must be yielded by exactly one host (floor dropped tail tiles).
         n = len(range(self.process_index, len(self.dataset),
                       self.process_count))
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        return -(-n // self.batch_size)
 
     def _batches(self):
         idx = np.arange(len(self.dataset))

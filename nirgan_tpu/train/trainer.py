@@ -80,13 +80,24 @@ class Trainer:
         self.is_main = jax.process_index() == 0
         project = cc.Logging.get("wandb_project", "nirgan_tpu")
         # reference resume semantics (train.py:67-71): Model.load_checkpoint
-        # may be a PATH to the run to resume (we take the experiment dir, or
-        # a .../last | .../best inside it), not just a bool
+        # may be a PATH to the run to resume (the experiment dir, or a
+        # .../last | .../best inside it), not just a bool
         lc = cc.Model.get("load_checkpoint")
-        if logdir is None and isinstance(lc, str) and lc:
-            logdir = lc
-            if os.path.basename(logdir.rstrip("/")) in ("last", "best"):
-                logdir = os.path.dirname(logdir.rstrip("/"))
+        self._resume_which, self._resume_dir = "last", None
+        if isinstance(lc, str) and lc:
+            rd = lc.rstrip("/")
+            if os.path.basename(rd) in ("last", "best"):
+                self._resume_which = os.path.basename(rd)
+                rd = os.path.dirname(rd)
+            if not os.path.isdir(os.path.join(rd, self._resume_which)):
+                # an explicit path must resume, never silently start fresh
+                # in (and overwrite) the old experiment dir
+                raise FileNotFoundError(
+                    f"load_checkpoint: no '{self._resume_which}' checkpoint "
+                    f"under {rd!r}")
+            self._resume_dir = rd
+            if logdir is None:
+                logdir = rd
         if logdir is None:
             t0 = time.time()
             if jax.process_count() > 1:
@@ -149,9 +160,18 @@ class Trainer:
                                                             loaded["params_d"]))
             print(f"Loaded (only) weights from: {cc.Model.weights_path}")
         state = replicate(self.mesh, state)
-        if cc.Model.get("load_checkpoint") and self.ckpt.has("last"):
-            state = self.ckpt.restore(state, "last")
-            print(f"Resumed full train state at step {int(jax.device_get(state.step))}")
+        if cc.Model.get("load_checkpoint"):
+            # path-based resume may target a different run dir than logdir
+            # (caller passed both) and may name 'best' explicitly; bool True
+            # keeps the resume-if-present convenience on this run's dir
+            mgr = self.ckpt
+            if (self._resume_dir is not None and os.path.abspath(
+                    self._resume_dir) != os.path.abspath(self.logdir)):
+                mgr = CheckpointManager(self._resume_dir)
+            if mgr.has(self._resume_which):
+                state = mgr.restore(state, self._resume_which)
+                print(f"Resumed full train state ({self._resume_which}) at "
+                      f"step {int(jax.device_get(state.step))}")
         return state
 
     def _load_weights(self, path: str) -> dict:

@@ -262,3 +262,34 @@ def test_trainer_resume_by_path(tmp_path):
     assert os.path.abspath(tr2.logdir) == os.path.abspath(run)
     state = tr2.fit()
     assert int(jax.device_get(state.step)) == 8
+
+
+def test_trainer_resume_path_validation(tmp_path):
+    """An explicit load_checkpoint path must resume or fail loudly — never
+    silently start fresh in (and overwrite) the old run dir; .../best
+    resumes the BEST checkpoint."""
+    from nirgan_tpu.train.trainer import Trainer
+
+    cfg = _cfg()
+    task = Px2PxTask(cfg)
+    dm = dataset_selector(cfg)
+    run = str(tmp_path / "run")
+    tr = Trainer(task, dm, cfg, logdir=run, max_steps=4,
+                 limit_val_batches=1, log_every=2)
+    tr.fit()
+    assert tr.ckpt.has("best") and tr.ckpt.has("last")
+
+    # typo / missing checkpoint → loud failure at construction
+    cfg.custom_configs.Model.load_checkpoint = str(tmp_path / "nope")
+    with pytest.raises(FileNotFoundError):
+        Trainer(task, dm, cfg, max_steps=8)
+
+    # .../best resumes the best checkpoint even with 'last' removed
+    import shutil
+
+    shutil.rmtree(os.path.join(run, "last"))
+    cfg.custom_configs.Model.load_checkpoint = os.path.join(run, "best")
+    tr2 = Trainer(task, dm, cfg, max_steps=6, limit_val_batches=1,
+                  log_every=2)
+    state = tr2.fit()
+    assert int(jax.device_get(state.step)) == 6

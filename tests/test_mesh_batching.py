@@ -51,3 +51,30 @@ def test_loader_process_slices_cover_uneven_corpus():
         assert len(got) == len(range(pi, 9, 2))
         seen += got
     assert sorted(seen) == list(range(9))
+
+
+def test_loader_drop_last_is_host_invariant():
+    """drop_last=True (the SPMD train/val loops): every host must yield the
+    SAME number of batches regardless of its slice's ragged tail, or the
+    per-batch collective programs desynchronize across processes."""
+    from nirgan_tpu.data.pipeline import Loader
+
+    class _Idx:
+        def __init__(self, n):
+            self.n = n
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            return {"i": np.asarray([i])}
+
+    for n in (15, 16, 17):
+        counts = []
+        for pi in range(2):
+            ld = Loader(_Idx(n), batch_size=4, shuffle=False, drop_last=True,
+                        process_index=pi, process_count=2)
+            counts.append(sum(1 for _ in ld))
+            assert counts[-1] == len(ld)
+        assert counts[0] == counts[1], (n, counts)
+        assert counts[0] == (n // 2) // 4
