@@ -18,6 +18,7 @@ batches:
 
 import json
 import os
+import shutil
 import socket
 import subprocess
 import sys
@@ -35,24 +36,48 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+def _spawn_pair(worker: str, outdir: str, cwd: str = REPO, attempts: int = 3,
+                timeout: int = 900) -> list[str]:
+    """Run both jax.distributed workers; retry with a fresh port on failure.
+
+    The coordinator port from ``_free_port`` is closed before the worker
+    rebinds it, so under full-suite contention another test's coordinator can
+    steal it in the window (the one observed full-suite flake).  A retry with
+    a new port is robust to that and to transient gloo timeouts; genuine
+    failures still fail after ``attempts`` tries."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=os.environ.get("PYTHONPATH", "") + os.pathsep + REPO)
+    last = None
+    for attempt in range(attempts):
+        port = _free_port()
+        procs = [subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", str(port), outdir],
+            cwd=cwd, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT) for pid in range(2)]
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=timeout)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                out, _ = p.communicate()
+            outs.append(out.decode())
+        if all(p.returncode == 0 for p in procs):
+            return outs
+        last = "\n---\n".join(o[-3000:] for o in outs)
+        # wipe partial outputs so the retry starts clean
+        for name in os.listdir(outdir):
+            shutil.rmtree(os.path.join(outdir, name), ignore_errors=True)
+            if os.path.isfile(os.path.join(outdir, name)):
+                os.unlink(os.path.join(outdir, name))
+    raise AssertionError(
+        f"workers failed after {attempts} attempts; last output:\n{last}")
+
+
 @pytest.fixture(scope="module")
 def two_process_run(tmp_path_factory):
     outdir = str(tmp_path_factory.mktemp("mp"))
-    port = _free_port()
-    env = dict(os.environ,
-               JAX_PLATFORMS="cpu",
-               PYTHONPATH=os.environ.get("PYTHONPATH", "") + os.pathsep + REPO)
-    worker = os.path.join(REPO, "tests", "mp_worker.py")
-    procs = [subprocess.Popen(
-        [sys.executable, worker, str(pid), "2", str(port), outdir],
-        cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
-        for pid in range(2)]
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=600)
-        outs.append(out.decode())
-    for p, out in zip(procs, outs):
-        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+    _spawn_pair(os.path.join(REPO, "tests", "mp_worker.py"), outdir)
     results = []
     for pid in range(2):
         with open(os.path.join(outdir, f"proc{pid}.json")) as f:
@@ -136,21 +161,13 @@ def test_two_process_trainer_fit(tmp_path):
     """The REAL Trainer.fit() under two jax.distributed processes: broadcast
     -agreed logdir, rank-zero logging, per-host input slicing, coordinated
     checkpointing, plateau-LR replication, local-shard image logging."""
-    port = _free_port()
     outdir = str(tmp_path / "out")
     os.makedirs(outdir)
     scratch = str(tmp_path / "cwd")
     os.makedirs(scratch)
-    env = dict(os.environ, JAX_PLATFORMS="cpu",
-               PYTHONPATH=os.environ.get("PYTHONPATH", "") + os.pathsep + REPO)
-    worker = os.path.join(REPO, "tests", "mp_trainer_worker.py")
-    procs = [subprocess.Popen(
-        [sys.executable, worker, str(pid), "2", str(port), outdir],
-        cwd=scratch, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
-        for pid in range(2)]
-    outs = [p.communicate(timeout=600)[0].decode() for p in procs]
-    for p, out in zip(procs, outs):
-        assert p.returncode == 0, f"trainer worker failed:\n{out[-3000:]}"
+    outs = _spawn_pair(os.path.join(REPO, "tests", "mp_trainer_worker.py"),
+                       outdir, cwd=scratch)
+    for out in outs:
         assert "Error in validation image logging" not in out
     results = []
     for pid in range(2):
@@ -176,18 +193,8 @@ def test_two_process_bulk_serving(tmp_path):
     """Multi-host bulk serving: each process serves its strided slice of
     the tile list on a local-device mesh; the union covers every tile and
     outputs match the single-process pipeline bit-for-bit."""
-    port = _free_port()
     outdir = str(tmp_path)
-    env = dict(os.environ, JAX_PLATFORMS="cpu",
-               PYTHONPATH=os.environ.get("PYTHONPATH", "") + os.pathsep + REPO)
-    worker = os.path.join(REPO, "tests", "mp_serve_worker.py")
-    procs = [subprocess.Popen(
-        [sys.executable, worker, str(pid), "2", str(port), outdir],
-        cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
-        for pid in range(2)]
-    outs = [p.communicate(timeout=600)[0].decode() for p in procs]
-    for p, out in zip(procs, outs):
-        assert p.returncode == 0, f"serve worker failed:\n{out[-3000:]}"
+    _spawn_pair(os.path.join(REPO, "tests", "mp_serve_worker.py"), outdir)
     files = sorted(os.listdir(os.path.join(outdir, "synth")))
     assert files == [f"tile_{i:03d}.npz" for i in range(10)]
 
