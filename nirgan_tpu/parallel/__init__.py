@@ -3,6 +3,7 @@ from nirgan_tpu.parallel.mesh import (
     batch_sharding,
     replicated_sharding,
     shard_batch,
+    pad_batch,
     replicate,
     initialize_multihost,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "batch_sharding",
     "replicated_sharding",
     "shard_batch",
+    "pad_batch",
     "replicate",
     "initialize_multihost",
 ]

@@ -30,6 +30,7 @@ __all__ = [
     "batch_sharding",
     "replicated_sharding",
     "shard_batch",
+    "pad_batch",
     "replicate",
 ]
 
@@ -53,7 +54,36 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch, axis: str = "data"):
+def pad_batch(batch: dict, quota: int) -> dict:
+    """Pad a dict batch's leading dim up to a multiple of ``quota`` by
+    repeating the last row, and record the real rows in a ``_valid`` f32
+    mask.  Metric code masks the padded rows out (``calculate_metrics``);
+    edge-repeat (not zeros) keeps padded activations in-distribution so
+    debug-NaN checks stay quiet."""
+    b = next(np.shape(v)[0] for v in batch.values()
+             if not isinstance(v, (list, str)))
+    target = -(-b // quota) * quota
+    if target == b and "_valid" in batch:
+        return batch
+    mask = np.zeros(target, np.float32)
+    mask[:b] = 1.0
+
+    def pad1(x):
+        if isinstance(x, (list, str)):
+            return x
+        x = np.asarray(x)
+        if x.shape[0] == target:
+            return x
+        reps = np.repeat(x[-1:], target - x.shape[0], axis=0)
+        return np.concatenate([x, reps], axis=0)
+
+    out = {k: pad1(v) for k, v in batch.items()}
+    out["_valid"] = mask
+    return out
+
+
+def shard_batch(mesh: Mesh, batch, axis: str = "data",
+                pad_uneven: bool = False):
     """Host arrays → device, batch-sharded across the mesh.
 
     Single-process: plain ``device_put``.  Multi-process (the mesh spans
@@ -63,13 +93,22 @@ def shard_batch(mesh: Mesh, batch, axis: str = "data"):
     assembled with ``jax.make_array_from_process_local_data`` (global batch =
     per-host batch × participating hosts, no cross-host data movement).
 
-    Multi-process callers MUST pass equal-size local batches on every host
-    (use ``drop_last=True`` loaders, as the train/val loaders do): sizes are
-    not cross-checked, and unequal ones would imply inconsistent global
-    shapes across processes."""
+    ``pad_uneven=True`` (dict batches only): a batch whose size does not
+    divide the mesh is edge-padded up to the next multiple and a ``_valid``
+    row mask is attached — validation work then scales with the mesh instead
+    of running replicated (single-process fallback) or failing divisibility
+    (multi-process).  All processes must still pass equal-size local batches
+    (``drop_last=True`` loaders guarantee it), since the common pad target is
+    computed from the local size.
+
+    Without padding, multi-process callers MUST pass sizes that divide the
+    mesh: sizes are not cross-checked, and unequal ones would imply
+    inconsistent global shapes across processes."""
     s = batch_sharding(mesh, axis)
     n_shards = int(np.prod([mesh.shape[a] for a in (axis,) if a in mesh.shape]))
     procs = {d.process_index for d in mesh.devices.flat}
+    if pad_uneven and isinstance(batch, dict):
+        batch = pad_batch(batch, max(1, n_shards // len(procs)))
     if len(procs) <= 1:
         repl = replicated_sharding(mesh)
 
@@ -88,7 +127,7 @@ def shard_batch(mesh: Mesh, batch, axis: str = "data"):
                 f"multi-process batch of global size {x.shape[0] * len(procs)} "
                 f"does not divide over the {n_shards}-way '{axis}' mesh; pick "
                 f"a per-host batch size that is a multiple of "
-                f"{n_shards // len(procs)}")
+                f"{n_shards // len(procs)} (or shard with pad_uneven=True)")
         global_shape = (x.shape[0] * len(procs),) + x.shape[1:]
         return jax.make_array_from_process_local_data(s, x, global_shape)
 

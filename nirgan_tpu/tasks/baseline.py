@@ -102,7 +102,8 @@ class BaselineTask:
         def step(state, batch):
             pred = self.model.apply({"params": state.params_g},
                                     batch["rgb"].astype(self.compute_dtype))
-            return pred.astype(jnp.float32), calculate_metrics(pred, batch["nir"], "val")
+            return pred.astype(jnp.float32), calculate_metrics(
+                pred, batch["nir"], "val", mask=batch.get("_valid"))
 
         if mesh is None:
             return jax.jit(step)

@@ -351,9 +351,12 @@ class Px2PxTask:
             embeds = batch.get("embeds") if inject else None
             pred = self.g_apply(state.params_g, rgb, embeds, train=False,
                                 stats=state.stats_g)
+            # `_valid` marks real rows of a batch padded up to mesh
+            # divisibility (shard_batch(pad_uneven=True)); padded rows drop
+            # out of the metric means
             metrics = calculate_metrics(
                 pred, self._dn_to_reflectance(batch["nir"], jnp.float32),
-                phase="val")
+                phase="val", mask=batch.get("_valid"))
             return pred.astype(jnp.float32), metrics
 
         # No pinned shardings: committed inputs carry theirs (state

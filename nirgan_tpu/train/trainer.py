@@ -132,6 +132,19 @@ class Trainer:
         self._profile_dir = os.environ.get("NIRGAN_PROFILE_DIR")
         self._preempted = False
 
+        # fail fast on a train batch that cannot divide the mesh — without
+        # this, a multi-host run crashes only at its FIRST train step (after
+        # compile), or worse trains a full epoch then dies in validation.
+        # (Validation batches of any size are fine: shard_batch pads+masks.)
+        n_shards = int(self.mesh.shape.get("data", 1))
+        local_quota = max(1, n_shards // jax.process_count())
+        tb = int(self.dm.train_batch_size)
+        if tb % local_quota:
+            raise ValueError(
+                f"per-host train batch {tb} does not divide the "
+                f"{n_shards}-way data mesh ({local_quota} local devices); "
+                f"set Data.train_batch_size to a multiple of {local_quota}")
+
     def _install_preemption_handler(self):
         """TPU preemption arrives as SIGTERM; checkpoint 'last' at the next
         step boundary and exit cleanly so resume picks up where we stopped
@@ -145,6 +158,26 @@ class Trainer:
             signal.signal(signal.SIGTERM, handler)
         except ValueError:
             pass  # not in the main thread (e.g. under a test runner)
+
+    def _sync_preemption(self, step_no: int) -> bool:
+        """Whether to checkpoint-and-exit now.  Single-process: the local
+        SIGTERM flag.  Multi-process: the orbax save is a coordinated
+        collective, so a host acting on its local flag alone would block in
+        the save while the others keep training — a distributed deadlock.
+        All hosts instead agree by all-reducing the flag at a shared cadence
+        (every ``log_every`` steps — already a host-sync boundary), and every
+        process enters ``ckpt.save`` at the same step."""
+        if jax.process_count() <= 1:
+            return self._preempted
+        if step_no % self.log_every:
+            return False
+        from jax.experimental import multihost_utils
+
+        flag = multihost_utils.process_allgather(
+            np.asarray(self._preempted, np.int32))
+        agreed = bool(np.max(flag))
+        self._preempted = agreed  # keep set for the epoch-boundary path
+        return agreed
 
     # ----------------------------------------------------------------- state
     def _initial_state(self, image_size: int):
@@ -236,7 +269,7 @@ class Trainer:
                 if (self.val_check_interval
                         and step_no % self.val_check_interval == 0):
                     state = self._run_validation(state, epoch + 1, step_no)
-                if self._preempted:
+                if self._sync_preemption(step_no):
                     self.ckpt.save(state, {})
                     print(f"preemption checkpoint written at step {step_no}")
                     return state
@@ -256,7 +289,10 @@ class Trainer:
         for i, batch in enumerate(self.dm.val_dataloader()):
             if i >= self.limit_val_batches:
                 break
-            ex = shard_batch(self.mesh, self.task.extract_batch(batch))
+            # pad+mask uneven val batches (reference val batch 5) so val work
+            # splits over the mesh instead of running fully replicated
+            ex = shard_batch(self.mesh, self.task.extract_batch(batch),
+                             pad_uneven=True)
             pred, metrics = self._eval_step(state, ex)
             for k, v in jax.device_get(metrics).items():  # one pull per batch
                 agg[k] = agg.get(k, 0.0) + float(v)
@@ -318,14 +354,26 @@ class Trainer:
             rgb = np.asarray(batch["rgb"], np.float32)[:, :3]
             nir = np.asarray(batch["nir"], np.float32)
             if jax.process_count() > 1:
-                # pred spans hosts; this host's shards line up with its own
-                # `batch` slice — log the local images, trim batch to match
+                # pred spans hosts; this host's shards cover its own `batch`
+                # slice (make_array_from_process_local_data layout), but
+                # addressable_shards iteration order is NOT globally sorted —
+                # order shards by their global row start and map each back to
+                # the matching local batch rows
+                shards = sorted(pred.addressable_shards,
+                                key=lambda s: s.index[0].start or 0)
+                starts = [s.index[0].start or 0 for s in shards]
+                local0 = starts[0]
+                rows = np.concatenate([
+                    np.arange(st - local0, st - local0 + s.data.shape[0])
+                    for st, s in zip(starts, shards)])
                 pred_local = np.concatenate(
-                    [np.asarray(s.data) for s in pred.addressable_shards])
-                rgb, nir = rgb[:len(pred_local)], nir[:len(pred_local)]
-                pred_nchw = np.transpose(pred_local, (0, 3, 1, 2))
+                    [np.asarray(s.data) for s in shards])
+                keep = rows < len(rgb)  # drop pad rows (pad_uneven batches)
+                rgb, nir = rgb[rows[keep]], nir[rows[keep]]
+                pred_nchw = np.transpose(pred_local[keep], (0, 3, 1, 2))
             else:
-                pred_nchw = np.transpose(np.asarray(jax.device_get(pred)), (0, 3, 1, 2))
+                pred_nchw = np.transpose(
+                    np.asarray(jax.device_get(pred))[:len(rgb)], (0, 3, 1, 2))
             self.logger.log_image("Images/Val NIR",
                                   plot_tensors_hist(rgb, nir, pred_nchw), step_no)
             if self.log_ndvi:
@@ -345,7 +393,7 @@ class Trainer:
 
                 d = self.task.rs_losses.get_and_weight_losses(
                     nchw_to_nhwc(rgb), nchw_to_nhwc(nir),
-                    jnp.asarray(jax.device_get(pred)), mode="logging_dict")
+                    nchw_to_nhwc(pred_nchw), mode="logging_dict")
                 self.logger.log_metrics(d, step_no)
         except Exception as e:
             print("Error in validation image logging:", e)

@@ -147,8 +147,14 @@ def main():
         train_ds = _EveryNth(ds, 0, 20, keep=False)
         val_ds = _EveryNth(ds, 0, 20, keep=True)
         eval_step = task.make_eval_step()
+        # process-sliced like the train loader: without it every host feeds
+        # the SAME rows as its "local" slice, the global contrastive batch
+        # holds P copies of each tile, and the duplicates act as perfect
+        # negatives — inflating val_loss by ~ln(P) vs single-host
         val_loader = Loader(val_ds, min(args.batch_size, max(len(val_ds), 1)),
-                            shuffle=False, drop_last=True)
+                            shuffle=False, drop_last=True,
+                            process_index=jax.process_index(),
+                            process_count=jax.process_count())
     else:
         train_ds = ds
 

@@ -48,10 +48,13 @@ def main():
     cfg.tpu.compute_dtype = "float32"
     cfg.Data.dataset_type = "fake"
     cfg.Data.fake_settings.image_size = 32
-    cfg.Data.fake_settings.length = 32
+    cfg.Data.fake_settings.length = 96   # val split 12 → 6/host ≥ val batch 5
     cfg.Data.fake_settings.batch_size = 4   # per process → global batch 8
     cfg.Data.train_batch_size = 4
-    cfg.Data.val_batch_size = 4             # global 8 ≡ 0 (mod mesh)
+    # the shipped configs' val batch 5 does NOT divide the 4 local devices —
+    # exercises the pad+mask path (shard_batch pad_uneven) that replaced the
+    # old multi-process divisibility crash
+    cfg.Data.val_batch_size = 5
     cfg.custom_configs.Training.limit_val_batches = 1
 
     task = Px2PxTask(cfg)
