@@ -27,6 +27,44 @@ def test_histogram_match_transfers_distribution():
     assert b0o[i] == out[0].ravel().max() and b0o[j] == out[0].ravel().min()
 
 
+def _skimage_match_cumulative_cdf(source, template):
+    """Literal transcription of ``skimage.exposure._match_cumulative_cdf``
+    (float path) — the exact function behind the reference's
+    ``match_histograms(img_np, ref_np, channel_axis=None)`` call at
+    ``create_synthetic_dataset.py:40-46``.  skimage itself is not in the
+    image; the transcription is the oracle (the kornia-SSIM playbook)."""
+    src_values, src_unique_indices, src_counts = np.unique(
+        source.ravel(), return_inverse=True, return_counts=True)
+    tmpl_values, tmpl_counts = np.unique(template.ravel(), return_counts=True)
+    src_quantiles = np.cumsum(src_counts) / source.size
+    tmpl_quantiles = np.cumsum(tmpl_counts) / template.size
+    interp_a_values = np.interp(src_quantiles, tmpl_quantiles, tmpl_values)
+    return interp_a_values[src_unique_indices].reshape(source.shape)
+
+
+def test_histogram_match_exact_vs_skimage_oracle():
+    """The device matcher reproduces skimage's quantile mapping to f32
+    rounding — including its tie semantics (all equal source pixels share
+    one output; tied template values collapse to one interp node), on
+    continuous, DN-quantised (the production uint16/10000 data), coarsely
+    quantised, and different-size inputs."""
+    rng = np.random.default_rng(0)
+    cases = []
+    for q in (None, 1e-4, 1 / 255):
+        src = rng.uniform(0, 1, (1, 64, 64, 1)).astype(np.float32)
+        ref = rng.beta(2, 5, (1, 64, 64, 1)).astype(np.float32)
+        if q is not None:
+            src = (np.round(src / q) * q).astype(np.float32)
+            ref = (np.round(ref / q) * q).astype(np.float32)
+        cases.append((src, ref))
+    cases.append((rng.uniform(0, 1, (1, 64, 64, 1)).astype(np.float32),
+                  rng.uniform(0, 1, (1, 32, 32, 1)).astype(np.float32)))
+    for src, ref in cases:
+        ours = np.asarray(histogram_match(jnp.asarray(src), jnp.asarray(ref)))
+        oracle = _skimage_match_cumulative_cdf(src[0, ..., 0], ref[0, ..., 0])
+        np.testing.assert_allclose(ours[0, ..., 0], oracle, rtol=0, atol=1e-6)
+
+
 def test_histogram_match_different_sizes():
     rng = np.random.default_rng(1)
     src = rng.random((1, 40, 40, 1)).astype(np.float32)
