@@ -53,7 +53,9 @@ def main():
               "random weights (smoke mode)")
     task.bind(params_g)
 
-    dataset = SRPairedDataset(args.data)
+    # uint16 DN rasters ship to the device unscaled (half the ingest
+    # bytes); the fused serving program scales DN/10000 on device
+    dataset = SRPairedDataset(args.data, dn_passthrough=True)
     out = args.out or os.path.join(args.data, "synth_nirs")
     mesh = None
     if args.mesh:

@@ -233,7 +233,13 @@ class SRPairedDataset:
     "id": str}.  Reads ``LR/`` + ``HR/`` subfolders of 4-band (LR) and
     3+-band (HR) rasters, .npz or GeoTIFF."""
 
-    def __init__(self, root_dir: str, dn_scale: float = 10000.0):
+    def __init__(self, root_dir: str, dn_scale: float = 10000.0,
+                 dn_passthrough: bool = False):
+        """``dn_passthrough``: keep integer DN rasters in their native dtype
+        (uint16 = 2 B/px instead of f32's 4) — the serving pipeline scales
+        DN/dn_scale on device (``synthesize_dataset``), halving ingest
+        bytes.  Default off to keep the reference item contract
+        (``data/SR_dataset_RGB.py:30``: float reflectance)."""
         self.lr_dir = os.path.join(root_dir, "LR")
         self.hr_dir = os.path.join(root_dir, "HR")
         exts = (".npz", ".npy", ".tif", ".tiff")
@@ -241,6 +247,7 @@ class SRPairedDataset:
             f for f in os.listdir(self.lr_dir)
             if f.lower().endswith(exts) and os.path.isfile(os.path.join(self.hr_dir, f)))
         self.dn_scale = dn_scale
+        self.dn_passthrough = dn_passthrough
 
     def __len__(self):
         return len(self.names)
@@ -256,10 +263,13 @@ class SRPairedDataset:
 
             # dn_scale: integer DN rasters come back scaled to reflectance
             # (read_geotiff returns float32, so the integer check below
-            # cannot catch them)
-            img, meta = read_geotiff(path, dn_scale=self.dn_scale)
+            # cannot catch them) — unless passthrough keeps the native dtype
+            img, meta = read_geotiff(path, dn_scale=self.dn_scale,
+                                     native_dtype=self.dn_passthrough)
             coords = centroid_lonlat(meta)  # reference SR_dataset_RGB.py:31-37
         if img.dtype.kind in "ui":
+            if self.dn_passthrough:
+                return img, coords
             img = img.astype(np.float32) / self.dn_scale
         return img.astype(np.float32), coords
 

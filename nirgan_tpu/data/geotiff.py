@@ -237,13 +237,17 @@ def _geo_meta(tags: dict, width: int, height: int) -> dict:
     return meta
 
 
-def read_geotiff(path: str, dn_scale: Optional[float] = None):
+def read_geotiff(path: str, dn_scale: Optional[float] = None,
+                 native_dtype: bool = False):
     """Returns ``(img_chw float32, meta)``.
 
     ``meta``: dict with optional keys ``pixel_scale`` (sx, sy), ``tiepoint``
     (i, j, k, x, y, z), ``epsg`` (int), ``width``, ``height``.
     ``dn_scale``: when given, integer samples are divided by it (the
     reference's DN/10000); float inputs pass through unscaled.
+    ``native_dtype``: return the raster's own dtype unscaled (uint16 DN stays
+    uint16 — half the host→device bytes on the serving path, scaled on
+    device); ``dn_scale`` is ignored.
     """
     with open(path, "rb") as f:
         buf = f.read()
@@ -343,6 +347,8 @@ def read_geotiff(path: str, dn_scale: Optional[float] = None):
                 planes.append(np.concatenate(rows).reshape(height, width))
             chw = np.stack(planes)
 
+    if native_dtype:
+        return np.ascontiguousarray(chw), _geo_meta(tags, width, height)
     img = np.ascontiguousarray(chw).astype(np.float32)
     if dn_scale and np.issubdtype(dtype, np.integer):
         img /= float(dn_scale)

@@ -80,11 +80,15 @@ def synthesize_dataset(task, dataset, out_path: str, batch_size: int = 8,
     @functools.lru_cache(maxsize=8)
     def fused(h: int, w: int, size: int):
         def fn(params, stats, hr_nhwc, s2_nhwc, embeds):
-            x = hr_nhwc
+            # integer DN input (dn_passthrough datasets) is scaled to
+            # reflectance here, on device — the host→device transfer carried
+            # 2 B/px instead of 4 (ROADMAP ingest bullet)
+            x = task._dn_to_reflectance(hr_nhwc, task.compute_dtype)
+            s2_nhwc = task._dn_to_reflectance(s2_nhwc, jnp.float32)
             if (h, w) != (size, size):
                 x = jnp.pad(x, ((0, 0), (0, size - h), (0, size - w), (0, 0)),
                             mode="reflect")
-            pred = task.g_apply(params, x.astype(task.compute_dtype),
+            pred = task.g_apply(params, x,
                                 embeds if inject else None, train=False,
                                 stats=stats)
             pred = pred.astype(jnp.float32)[:, :h, :w, :]
@@ -115,13 +119,19 @@ def synthesize_dataset(task, dataset, out_path: str, batch_size: int = 8,
             q.put((tid, im))
             n_written += 1
         if plot_dir and v % plot_every == 0:
-            _plot_example(batch, out, v, plot_dir)
+            _plot_example(batch, out, v, plot_dir, dn_scale=task.dn_scale)
+
+    def ingest(x):
+        # uint8/uint16 DN stays integer through the transfer (half the
+        # bytes); anything else becomes f32 (task._ingest policy)
+        x = np.asarray(x)
+        if x.dtype not in (np.uint8, np.uint16):
+            x = np.asarray(x, np.float32)
+        return jnp.transpose(jnp.asarray(x), (0, 2, 3, 1))
 
     for v, batch in enumerate(loader):
-        hr = jnp.transpose(jnp.asarray(np.asarray(batch["hr"], np.float32)),
-                           (0, 2, 3, 1))
-        s2 = jnp.transpose(jnp.asarray(np.asarray(batch["s2_nir"], np.float32)),
-                           (0, 2, 3, 1))
+        hr = ingest(batch["hr"])
+        s2 = ingest(batch["s2_nir"])
         embeds = None
         if task.satclip:
             embeds = jnp.asarray(task.satclip_model.predict(
@@ -152,7 +162,8 @@ def synthesize_dataset(task, dataset, out_path: str, batch_size: int = 8,
     return n_written
 
 
-def _plot_example(batch, pred_nchw, idx: int, plot_dir: str):
+def _plot_example(batch, pred_nchw, idx: int, plot_dir: str,
+                  dn_scale: float = 10000.0):
     """4-panel HR-RGB | LR-RGB | synth NIR | real NIR example
     (reference ``plot_example``, ``create_synthetic_dataset.py:54-84``)."""
     try:
@@ -161,9 +172,15 @@ def _plot_example(batch, pred_nchw, idx: int, plot_dir: str):
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
+        def refl(x):  # dn_passthrough batches carry integer DN
+            x = np.asarray(x)
+            if np.issubdtype(x.dtype, np.integer):
+                return x.astype(np.float32) / float(dn_scale)
+            return np.asarray(x, np.float32)
+
         os.makedirs(plot_dir, exist_ok=True)
-        hr = np.clip(np.asarray(batch["hr"][0], np.float32) * 3, 0, 1)
-        lr = np.clip(np.asarray(batch["lr"][0], np.float32) * 3, 0, 1)
+        hr = np.clip(refl(batch["hr"][0]) * 3, 0, 1)
+        lr = np.clip(refl(batch["lr"][0]) * 3, 0, 1)
         fig, axs = plt.subplots(1, 4, figsize=(16, 4))
         axs[0].imshow(np.transpose(hr, (1, 2, 0)))
         axs[0].set_title("HR RGB")
@@ -171,7 +188,7 @@ def _plot_example(batch, pred_nchw, idx: int, plot_dir: str):
         axs[1].set_title("LR RGB")
         axs[2].imshow(pred_nchw[0, 0].astype(np.float32), cmap="gray")
         axs[2].set_title("Synth NIR")
-        axs[3].imshow(np.asarray(batch["s2_nir"][0, 0], np.float32), cmap="gray")
+        axs[3].imshow(refl(batch["s2_nir"][0, 0]), cmap="gray")
         axs[3].set_title("Real NIR")
         for ax in axs:
             ax.axis("off")

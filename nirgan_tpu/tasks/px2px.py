@@ -407,7 +407,9 @@ class Px2PxTask:
         called inside a jitted step (the intended path), or on host for the
         concat route."""
         if np.issubdtype(np.dtype(x.dtype), np.integer):
-            return (x.astype(jnp.float32) * (1.0 / self.dn_scale)).astype(dtype)
+            # true division (not * reciprocal): bit-identical to the host
+            # loaders' DN/10000, so passthrough and pre-scaled paths agree
+            return (x.astype(jnp.float32) / self.dn_scale).astype(dtype)
         return x.astype(dtype)
 
     def _concat_embedding_plane(self, rgb, embeds):

@@ -5,6 +5,8 @@ GeoTiffFolderDataset → train-step path with no rasterio/tifffile installed
 
 import math
 
+import os
+
 import numpy as np
 import pytest
 
@@ -163,6 +165,61 @@ def test_sr_paired_dataset_reads_geotiff(tmp_path):
     assert item["s2_nir"].shape == (1, 8, 8)
     assert item["id"] == "a"
     assert abs(item["coords"][0] - 9.0) < 1e-4  # UTM 32N central meridian
+
+    # DN passthrough: same tiles, native uint16 (half the ingest bytes)
+    raw = SRPairedDataset(str(tmp_path), dn_passthrough=True)[0]
+    assert raw["hr"].dtype == np.uint16 and raw["s2_nir"].dtype == np.uint16
+    np.testing.assert_allclose(raw["hr"].astype(np.float32) / 10000.0,
+                               item["hr"], atol=1e-7)
+
+
+def test_synthesize_dn_passthrough_matches_float(tmp_path):
+    """The serving pipeline on a uint16-DN passthrough dataset (scale on
+    device) matches the float-reflectance path.
+
+    Not bit-identical: XLA rewrites the on-device DN/10000 into a
+    multiply-by-reciprocal, 1 ulp off numpy's division on some DN values;
+    where that ulp splits a histogram-match tie group, the affected pixel
+    moves by one fp16 quantum.  Bound: >=99% of pixels byte-identical, the
+    rest within 2e-3 (one fp16 ulp at reflectance magnitudes)."""
+    from nirgan_tpu.config import load_config
+    from nirgan_tpu.data.datasets import SRPairedDataset
+    from nirgan_tpu.inference import synthesize_dataset
+    from nirgan_tpu.tasks import Px2PxTask
+
+    rng = np.random.default_rng(11)
+    (tmp_path / "LR").mkdir()
+    (tmp_path / "HR").mkdir()
+    for i in range(3):
+        write_geotiff(str(tmp_path / "LR" / f"t{i}.tif"),
+                      rng.integers(0, 10000, (4, 16, 16)).astype(np.uint16))
+        write_geotiff(str(tmp_path / "HR" / f"t{i}.tif"),
+                      rng.integers(0, 10000, (3, 64, 64)).astype(np.uint16))
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_config(os.path.join(repo, "configs/config_px2px.yaml"))
+    cfg.base_configs.ngf = 8
+    cfg.base_configs.ndf = 8
+    cfg.Data.padding_amount = 2
+    cfg.tpu.compute_dtype = "float32"
+    cfg.tpu.shape_buckets = [64]
+    task = Px2PxTask(cfg)
+    task.bind(task.init_state(seed=0, image_size=64))
+
+    out_f = str(tmp_path / "float")
+    out_u = str(tmp_path / "uint")
+    n1 = synthesize_dataset(task, SRPairedDataset(str(tmp_path)), out_f,
+                            batch_size=2, plot_every=10 ** 9)
+    n2 = synthesize_dataset(
+        task, SRPairedDataset(str(tmp_path), dn_passthrough=True), out_u,
+        batch_size=2, plot_every=10 ** 9)
+    assert n1 == n2 == 3
+    for f in sorted(os.listdir(out_f)):
+        a = np.load(os.path.join(out_f, f))["nir"]
+        b = np.load(os.path.join(out_u, f))["nir"]
+        same = (a == b).mean()
+        assert same >= 0.99, (f, same)
+        np.testing.assert_allclose(a, b, rtol=0, atol=2e-3, err_msg=f)
 
 
 @pytest.mark.parametrize("planar,predictor", [(False, False), (False, True),
