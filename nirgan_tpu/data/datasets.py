@@ -42,18 +42,45 @@ def center_crop_chw(img: np.ndarray, size: int) -> np.ndarray:
 class FakeDataset:
     """Procedural in-memory dataset implementing the batch-dict contract —
     the train-without-rasters path the survey's test plan calls for
-    (SURVEY.md §4c).  NIR is a deterministic nonlinear function of RGB plus
-    structured noise, so models have real signal to fit."""
+    (SURVEY.md §4c).
+
+    ``mode="rgb"`` (default): NIR is a deterministic clipped-linear function
+    of RGB — plumbing-level signal any regressor can fit.
+
+    ``mode="geo"``: NIR is a **coordinate-dependent** blend of two distinct
+    RGB responses, ``nir = (1-g)·soil + g·veg`` with the mixing factor
+    ``g(lon, lat)`` a smooth low-degree function on the sphere and
+    veg/soil different linear maps of RGB.  From RGB alone ``g`` is
+    unidentifiable, so an RGB-only model carries an irreducible error
+    proportional to ``E|g-ĝ|·|veg-soil|``; a location-conditioned model
+    (the SatCLIP inject/concat routes) can recover it.  This is the
+    synthetic analogue of the reference's geographic-prior premise
+    (``/root/reference/README.md:17-31``) and feeds the SatCLIP-vs-plain
+    A/B the validation suite draws (``plot_val_spiders.py:13-87``)."""
 
     def __init__(self, image_size: int = 256, length: int = 64,
-                 return_coords: bool = False, seed: int = 0):
+                 return_coords: bool = False, seed: int = 0,
+                 mode: str = "rgb"):
         self.image_size = int(image_size)
         self.length = int(length)
-        self.return_coords = bool(return_coords)
+        self.mode = str(mode)
+        if self.mode not in ("rgb", "geo"):
+            raise ValueError(f"FakeDataset mode {mode!r} not in ('rgb','geo')")
+        # geo mode is pointless without coordinates
+        self.return_coords = bool(return_coords) or self.mode == "geo"
         self.seed = seed
 
     def __len__(self):
         return self.length
+
+    @staticmethod
+    def geo_mix(lon: float, lat: float) -> float:
+        """The mixing factor g(lon, lat) ∈ [0.05, 0.95]: degree-≤2 spherical
+        signal — well inside what an l=10 SH + SIREN location encoder (or a
+        linear readout of a random frozen one) can represent."""
+        latr, lonr = np.radians(lat), np.radians(lon)
+        return float(0.5 + 0.25 * np.sin(2.0 * latr)
+                     + 0.2 * np.cos(latr) * np.sin(lonr))
 
     def __getitem__(self, idx: int) -> dict:
         rng = np.random.default_rng(self.seed * 1_000_003 + idx)
@@ -63,12 +90,19 @@ class FakeDataset:
         rgb = np.kron(base, np.ones((1, 8, 8), np.float32))
         rgb += 0.05 * rng.random((3, s, s)).astype(np.float32)
         rgb = np.clip(rgb / rgb.max(), 0.0, 1.0)
+        coords = np.asarray(
+            [rng.uniform(-180, 180), rng.uniform(-60, 70)], np.float32)
         # vegetation-like response: high where green dominates red
-        nir = np.clip(0.55 * rgb[1:2] - 0.25 * rgb[0:1] + 0.35 * rgb[2:3] + 0.15, 0, 1)
+        veg = np.clip(0.55 * rgb[1:2] - 0.25 * rgb[0:1] + 0.35 * rgb[2:3] + 0.15, 0, 1)
+        if self.mode == "geo":
+            soil = np.clip(0.6 * rgb[0:1] - 0.2 * rgb[1:2] + 0.3 * rgb[2:3] + 0.25, 0, 1)
+            g = self.geo_mix(float(coords[0]), float(coords[1]))
+            nir = np.clip((1.0 - g) * soil + g * veg, 0, 1)
+        else:
+            nir = veg
         item = {"rgb": rgb, "nir": nir.astype(np.float32)}
         if self.return_coords:
-            item["coords"] = np.asarray(
-                [rng.uniform(-180, 180), rng.uniform(-90, 90)], np.float32)
+            item["coords"] = coords
         return item
 
 

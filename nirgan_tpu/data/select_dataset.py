@@ -48,7 +48,8 @@ def build_dataset(name: str, data_cfg, split: str = "train"):
             length = max(8, length // 8)
         return FakeDataset(image_size=image_size, length=length,
                            return_coords=return_coords,
-                           seed=0 if split == "train" else 1)
+                           seed=0 if split == "train" else 1,
+                           mode=st.get("mode", "rgb"))
 
     base = st.get("base_path", None)
     if base is None:

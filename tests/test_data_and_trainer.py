@@ -293,3 +293,36 @@ def test_trainer_resume_path_validation(tmp_path):
                   log_every=2)
     state = tr2.fit()
     assert int(jax.device_get(state.step)) == 6
+
+
+def test_fake_geo_mode_needs_coordinates():
+    """mode='geo' carries real geographic signal: a per-pixel least-squares
+    fit on RGB alone hits an irreducible error, and adding the (hidden)
+    mixing factor g(lon,lat) as a feature removes most of it — the dataset
+    property the SatCLIP inject-vs-plain A/B rests on."""
+    ds = FakeDataset(image_size=32, length=48, seed=3, mode="geo")
+    X, Xg, Y = [], [], []
+    for i in range(len(ds)):
+        it = ds[i]
+        rgb = it["rgb"].reshape(3, -1).T
+        g = FakeDataset.geo_mix(float(it["coords"][0]), float(it["coords"][1]))
+        ones = np.ones((rgb.shape[0], 1), np.float32)
+        X.append(np.concatenate([rgb, ones], 1))
+        Xg.append(np.concatenate(
+            [rgb, rgb * g, np.full_like(ones, g), ones], 1))
+        Y.append(it["nir"].ravel())
+    X, Xg, Y = np.concatenate(X), np.concatenate(Xg), np.concatenate(Y)
+
+    def resid(A):
+        w, *_ = np.linalg.lstsq(A, Y, rcond=None)
+        return float(np.mean(np.abs(A @ w - Y)))
+
+    l1_rgb, l1_geo = resid(X), resid(Xg)
+    # RGB-only irreducible gap is large; the g-aware fit removes >75% of it
+    assert l1_rgb > 0.02, l1_rgb
+    assert l1_geo < 0.25 * l1_rgb, (l1_rgb, l1_geo)
+
+    # deterministic per index, and coords actually modulate the target
+    it2 = FakeDataset(image_size=32, length=48, seed=3, mode="geo")[0]
+    np.testing.assert_array_equal(it2["nir"], ds[0]["nir"])
+    np.testing.assert_array_equal(it2["coords"], ds[0]["coords"])
