@@ -1,0 +1,124 @@
+"""Pallas fused trunk kernels (VERDICT round-2 directive 1: measure, don't
+model).
+
+Target: the 9 ResNet trunk blocks at 256ch/133² (serving 512²+pad).  Each
+block is pad1·conv3³·IN·ReLU·pad1·conv3³·IN·+residual
+(``/root/reference/model/networks.py:377-434``; InstanceNorm affine-free,
+``:30``).  XLA runs the convs at 83-87% of peak but materialises the
+norm/pad intermediates in HBM (~24 ms of a ~122 ms b32 step — RESULTS.md
+round-2 breakdown).  Unlike the head kernel (killed by s2d/d2s layout
+boundaries), a trunk kernel is NHWC-in/NHWC-out: no boundary cost.
+
+Alignment strategy: Mosaic rejects unaligned MEMREF slices along the
+tiled (last two) dims — in every memory space — but VALUE-level slices
+after a forced vector load lower to in-register relayouts and take any
+offset.  So each grid step DMAs one (rh+2, W_IN, C) row band, forces the
+load, and takes the nine (dy, dx) taps as value slices feeding aligned
+(rh, 136, C)×(C, C) MXU dots.  The output is 136 wide with real data in
+cols [0, 133); callers crop.
+
+Measured in benchmarks/trunk_kernel_ab.py; RESULTS.md carries the verdict
+(round 3: LINE CLOSED — the kernel's MXU dots floor at 5.38-5.50 ms/conv
+(63-65% of peak; K-concat, flat-2D, per-dy-acc, rh∈{7,19} all measured)
+vs XLA's 4.9-5.3 isolated and ~4.1-4.85 in context, so even a
+zero-overhead fused block (2 convs + in-VMEM stats/norm/pad) cannot beat
+XLA's 9.7 ms in-context block; the ~2.9 ms/block of IN+pad traffic the
+fusion would save is smaller than the ~1.4 ms/block the hand conv loses
+twice).  The kernel stays as the measured experiment, correctness-tested
+in tests/test_pallas_kernels.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["conv3x3_pallas"]
+
+WSL = 136  # aligned working width (133 real cols + 3 junk)
+
+
+def _conv_kernel(x_hbm, w_ref, out_ref, win, sem, *, rh: int,
+                 n_row_tiles: int):
+    """One (batch, row-tile) grid step: DMA three dx-shifted input windows,
+    9 aligned MXU tap dots, write the (rh, WSL, C) output block."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    nb = pl.num_programs(0)
+    step = b * n_row_tiles + i
+    slot = jax.lax.rem(step, 2)
+    nxt = jax.lax.rem(step + 1, 2)
+    c = out_ref.shape[3]
+
+    def window_copy(bb, ii, s):
+        return pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(ii * rh, rh + 2)], win.at[s], sem.at[s])
+
+    @pl.when(step == 0)
+    def _():
+        window_copy(b, i, slot).start()
+
+    @pl.when(step + 1 < nb * n_row_tiles)
+    def _():
+        wrap = i + 1 >= n_row_tiles
+        ii = jax.lax.select(wrap, 0, i + 1)
+        bb = jax.lax.select(wrap, b + 1, b)
+        window_copy(bb, ii, nxt).start()
+
+    window_copy(b, i, slot).wait()
+    x = win[slot] * jnp.ones((), win.dtype)  # force vector load: value
+    # slices below then relayout in-register instead of memref-slicing.
+    # The three dx shifts are hoisted (one sublane relayout each, shared
+    # across dy).
+    xdx = [x[:, dx:dx + WSL, :] for dx in range(3)]
+    # flat 2-D dots: (rh, WSL, C) -> (rh*WSL, C) is layout-free (WSL % 8
+    # == 0), giving one large-M MXU dot per tap
+    acc = jnp.zeros((rh * WSL, c), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            xs = xdx[dx][dy:dy + rh].reshape(rh * WSL, c)
+            acc += jax.lax.dot_general(
+                xs, w_ref[dy, dx],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    out_ref[...] = acc.reshape(rh, WSL, c).astype(out_ref.dtype)[None]
+
+
+@functools.partial(jax.jit, static_argnames=("rh",))
+def conv3x3_pallas(x_padded, w, rh: int = 19):
+    """VALID 3×3 conv, NHWC: (B, H+2, W_IN, C) × (3, 3, C, C) →
+    (B, H, WSL, C) with real data in output cols [0, W_IN-2); the trailing
+    columns are junk (wrap taps) — callers crop.  W_IN must be ≥ WSL+2.
+
+    ``rh``: output rows per grid step (must divide H; 133 = 7·19)."""
+    b, hp, wp, c = x_padded.shape
+    h = hp - 2
+    assert h % rh == 0, (h, rh)
+    assert wp >= WSL + 2 and wp % 8 == 0, wp  # DMA bands need 8-aligned W
+    n_row_tiles = h // rh
+    flops = 2 * b * h * WSL * 9 * c * c
+    kernel = functools.partial(_conv_kernel, rh=rh, n_row_tiles=n_row_tiles)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n_row_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),   # x stays in HBM; DMA'd
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # weights resident
+        ],
+        out_specs=pl.BlockSpec(
+            (1, rh, WSL, c), lambda bb, ii: (bb, ii, 0, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, WSL, c), x_padded.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, rh + 2, wp, c), x_padded.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=x_padded.size * x_padded.dtype.itemsize * 4,
+            transcendentals=0),
+    )(x_padded, w)

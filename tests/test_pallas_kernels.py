@@ -105,3 +105,27 @@ def test_pallas_head_conv_backward_matches():
         scale = float(np.max(np.abs(np.asarray(a)))) + 1e-12
         np.testing.assert_allclose(np.asarray(a) / scale, np.asarray(b) / scale,
                                    rtol=0, atol=1e-5)
+
+
+def test_trunk_conv3x3_pallas_matches_xla():
+    """ops/pallas_trunk.conv3x3_pallas (interpret mode on CPU; the TPU
+    measurements that closed the trunk-fusion line are in RESULTS.md)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from nirgan_tpu.ops.pallas_trunk import conv3x3_pallas
+
+    rng = np.random.default_rng(0)
+    c = 256
+    x = jnp.asarray(rng.standard_normal((2, 23, 144, c)), jnp.float32)
+    w = jnp.asarray(0.05 * rng.standard_normal((3, 3, c, c)), jnp.float32)
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    with pltpu.force_tpu_interpret_mode():
+        got = conv3x3_pallas(x, w, rh=7)
+    # real output cols are [0, 140); the kernel emits the aligned 136
+    np.testing.assert_allclose(np.asarray(ref)[:, :, :136],
+                               np.asarray(got), rtol=5e-4, atol=5e-4)
