@@ -29,7 +29,23 @@ def create_val_metrics(config_path: str, folder: str, dataset=None,
     params_g = state.params_g
     wp = weights_path or config.custom_configs.Model.get("weights_path")
     if wp and os.path.exists(wp):
-        loaded = task.load_torch_weights(wp) if wp.endswith((".ckpt", ".pt")) else None
+        if wp.endswith((".ckpt", ".pt", ".pth")):
+            loaded = task.load_torch_weights(wp)
+        elif os.path.isdir(wp):
+            # an orbax checkpoint: either .../best|last directly, or a run
+            # dir (prefer best — PL's `ModelCheckpoint` validation protocol)
+            import orbax.checkpoint as ocp
+
+            p = wp.rstrip("/")
+            if os.path.basename(p) not in ("best", "last"):
+                for which in ("best", "last"):
+                    if os.path.isdir(os.path.join(p, which)):
+                        p = os.path.join(p, which)
+                        break
+            restored = ocp.StandardCheckpointer().restore(os.path.abspath(p))
+            loaded = {"params_g": restored["params_g"]} if "params_g" in restored else None
+        else:
+            loaded = None
         if loaded and "params_g" in loaded:
             params_g = merge_params(params_g, loaded["params_g"])
             print("Loaded (only) Weights from:", wp)
@@ -71,17 +87,22 @@ def filter_for_countries(df, world_path: str):
 
 
 def run_comparison(satclip_config: str, plain_config: str, dataset=None,
-                   out_root: str = "validation_metrics", max_samples=None):
+                   out_root: str = "validation_metrics", max_samples=None,
+                   satclip_weights: str | None = None,
+                   plain_weights: str | None = None):
     """Both sweeps + the three radar comparisons (Continent / Köppen /
-    economy), mirroring the reference's main flow (``:155-183``)."""
+    economy), mirroring the reference's main flow (``:155-183``).
+    ``*_weights`` may each be a torch .ckpt/.pt or an orbax run dir."""
     from nirgan_tpu.validation.spiders import plot_radar_comparison, read_metric_geojson
 
     folder = os.path.join(out_root,
                           datetime.datetime.now().strftime("%d_%m_%Y_%H_%M_%S"))
     os.makedirs(folder, exist_ok=True)
-    create_val_metrics(plain_config, folder, dataset=dataset, max_samples=max_samples)
+    create_val_metrics(plain_config, folder, dataset=dataset,
+                       weights_path=plain_weights, max_samples=max_samples)
     nosc = os.path.join(folder, "validation_metrics_ablation_satclip_False_e0.geojson")
-    create_val_metrics(satclip_config, folder, dataset=dataset, max_samples=max_samples)
+    create_val_metrics(satclip_config, folder, dataset=dataset,
+                       weights_path=satclip_weights, max_samples=max_samples)
     sc = os.path.join(folder, "validation_metrics_ablation_satclip_True_e0.geojson")
 
     gdf_sc, gdf_nosc = read_metric_geojson(sc), read_metric_geojson(nosc)

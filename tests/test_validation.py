@@ -198,3 +198,53 @@ def test_filter_for_countries_builtin(tmp_path):
                        "val/L1": [1.0, 2.0, 3.0]})
     out = filter_for_countries(df, wp)
     assert list(out["val/L1"]) == [1.0, 3.0]
+
+
+def test_run_comparison_orbax_weights(tmp_path):
+    """The geo-prior A/B path end-to-end: train the inject variant briefly,
+    then run the SatCLIP-vs-plain comparison loading the generator from the
+    ORBAX run dir (reference protocol: get_results_table.py loads trained
+    ckpts; ours are orbax, VERDICT r2 directive 2)."""
+    import yaml
+
+    from nirgan_tpu.data import dataset_selector
+    from nirgan_tpu.train.trainer import Trainer
+    from nirgan_tpu.validation.results_table import run_comparison
+
+    paths = {}
+    for name in ("ab_geo_satclip", "ab_geo_plain"):
+        c = yaml.safe_load(open(f"configs/{name}.yaml"))
+        c["base_configs"]["ngf"] = 8
+        c["base_configs"]["ndf"] = 8
+        c["Data"]["padding_amount"] = 2
+        c["Data"]["fake_settings"].update(image_size=32, length=32)
+        c["Data"]["train_batch_size"] = 8
+        c["Data"]["val_batch_size"] = 8
+        c["Data"]["num_workers"] = 0
+        c["tpu"]["compute_dtype"] = "float32"
+        c["tpu"]["shape_buckets"] = [32]
+        c["custom_configs"]["experimentation"] = {"save_val_df": False}
+        p = tmp_path / f"{name}.yaml"
+        yaml.safe_dump(c, open(p, "w"))
+        paths[name] = str(p)
+
+    cfg = load_config(paths["ab_geo_satclip"])
+    assert cfg.Data.fake_settings.mode == "geo"  # the pair ships geo mode
+    task = Px2PxTask(cfg)
+    dm = dataset_selector(cfg)
+    run = str(tmp_path / "run_sc")
+    tr = Trainer(task, dm, cfg, logdir=run, max_steps=3, limit_val_batches=1)
+    tr.fit()
+    tr.logger.close()
+    assert os.path.isdir(os.path.join(run, "last"))
+
+    folder, _plots = run_comparison(
+        paths["ab_geo_satclip"], paths["ab_geo_plain"],
+        out_root=str(tmp_path / "cmp"), max_samples=4, satclip_weights=run)
+    for tag in ("True", "False"):
+        geo = os.path.join(
+            folder, f"validation_metrics_ablation_satclip_{tag}_e0.geojson")
+        assert os.path.exists(geo)
+        fc = json.load(open(geo))
+        # max_samples rounds up to whole predict batches
+        assert len(fc["features"]) >= 4

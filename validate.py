@@ -16,7 +16,12 @@ def main():
     p.add_argument("--config", default=None, help="single-model sweep")
     p.add_argument("--compare", nargs=2, metavar=("SATCLIP_CFG", "PLAIN_CFG"),
                    default=None, help="two-model sweep + radar plots")
-    p.add_argument("--weights", default=None)
+    p.add_argument("--weights", default=None,
+                   help="torch .ckpt/.pt or orbax run dir (--config mode)")
+    p.add_argument("--weights-satclip", default=None,
+                   help="weights for the SatCLIP model in --compare mode")
+    p.add_argument("--weights-plain", default=None,
+                   help="weights for the plain model in --compare mode")
     p.add_argument("--out", default="validation_metrics")
     p.add_argument("--max-samples", type=int, default=None)
     args = p.parse_args()
@@ -30,7 +35,9 @@ def main():
     if args.compare:
         folder, plots = run_comparison(args.compare[0], args.compare[1],
                                        out_root=args.out,
-                                       max_samples=args.max_samples)
+                                       max_samples=args.max_samples,
+                                       satclip_weights=args.weights_satclip,
+                                       plain_weights=args.weights_plain)
         print("wrote", folder)
         for pl in plots:
             print("  ", pl)
