@@ -69,6 +69,13 @@ class Px2PxTask:
         tpu = tpu_section(config)
         self.compute_dtype = dtype_of(tpu.compute_dtype)
         self.dn_scale = float(config.Data.get("dn_scale", 10000.0))
+        # optional float transfer dtype (e.g. "float16"): float batches are
+        # cast host-side before the host→device transfer and upcast on
+        # device — halves ingest bytes on thin links (the axon tunnel
+        # measures f32 216 ms vs f16 69 ms per 256² b8 batch, RESULTS.md);
+        # quantises inputs to ~1e-3 so it is OFF by default for parity
+        td = tpu.get("transfer_dtype", None)
+        self.transfer_dtype = np.dtype(td) if td else None
         self.param_dtype = dtype_of(tpu.param_dtype)
         self.shape_buckets = sorted(int(b) for b in tpu.shape_buckets)
         # reference computes train metrics every 10th batch only
@@ -399,6 +406,8 @@ class Px2PxTask:
         x = np.asarray(x)
         if x.dtype in (np.uint8, np.uint16):
             return x
+        if self.transfer_dtype is not None:
+            return np.asarray(x, self.transfer_dtype)
         return np.asarray(x, np.float32)
 
     def _dn_to_reflectance(self, x, dtype):

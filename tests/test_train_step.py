@@ -177,3 +177,25 @@ def test_uint16_dn_ingest_matches_f32(tmp_path):
     _, m_f32 = step(task.init_state(seed=0, image_size=32), exf)
     for k in ("model_loss/generator_total_loss", "model_loss/discriminator_loss"):
         assert abs(float(m_int[k]) - float(m_f32[k])) < 1e-5, k
+
+
+def test_transfer_dtype_f16_close_to_f32():
+    """tpu.transfer_dtype float16 (host→device ingest cast, upload-bound
+    tunnel/DCN links) changes losses only at input-quantisation level."""
+    results = {}
+    for td in (None, "float16"):
+        cfg = small_config()
+        if td:
+            cfg.tpu.transfer_dtype = td
+        task = Px2PxTask(cfg)
+        state = task.init_state(seed=0, image_size=32)
+        step = task.make_train_step()
+        ex = task.extract_batch(fake_batch())
+        if td:
+            assert ex["rgb"].dtype == np.float16
+            assert ex["nir"].dtype == np.float16
+        for _ in range(3):
+            state, m = step(state, ex)
+        results[td] = float(m["model_loss/generator_total_loss"])
+    assert np.isfinite(results["float16"])
+    assert abs(results["float16"] - results[None]) < 2e-2 * max(1.0, abs(results[None]))
