@@ -77,6 +77,16 @@ def spider_validation_callback(task, ds, satclip: bool, folder: str,
     df = pd.DataFrame(rows)
     df.to_csv(os.path.join(folder, "validation_metrics.csv"))
 
+    # unset layer paths resolve to the shipped coarse layers (env-overridable)
+    # so the ablation grouping works out of the box — layers/__init__.py
+    if world_path is None:
+        from nirgan_tpu.validation.layers import default_world_path
+
+        world_path = default_world_path()
+    if koppen_path is None:
+        from nirgan_tpu.validation.layers import default_koppen_paths
+
+        koppen_path, koppen_legend = default_koppen_paths()
     gdf = append_info_to_df(df, world_path=world_path, koppen_path=koppen_path,
                             koppen_legend=koppen_legend)
     gdf = clean_economy(gdf)

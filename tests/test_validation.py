@@ -248,3 +248,29 @@ def test_run_comparison_orbax_weights(tmp_path):
         fc = json.load(open(geo))
         # max_samples rounds up to whole predict batches
         assert len(fc["features"]) >= 4
+
+
+def test_shipped_coarse_layers():
+    """The package's built-in geo layers group known locations correctly
+    (weak-spot fix: in-container ablations previously fell back to
+    'Unknown' everywhere; reference layer paths are machine-local,
+    geo_ablation.py:18,33-34)."""
+    import pandas as pd
+
+    from nirgan_tpu.validation.geo_ablation import append_info_to_df, clean_economy
+    from nirgan_tpu.validation.layers import default_koppen_paths, default_world_path
+
+    kop, leg = default_koppen_paths()
+    df = pd.DataFrame({
+        # Berlin, Brasília, Kansas, Nairobi, central Australia, mid-Pacific
+        "x": [13.4, -47.9, -98.0, 36.8, 134.0, -150.0],
+        "y": [52.5, -15.8, 39.0, -1.3, -25.0, 0.0],
+        "l1": [0.1] * 6,
+    })
+    out = clean_economy(append_info_to_df(df, world_path=default_world_path(),
+                                          koppen_path=kop, koppen_legend=leg))
+    assert list(out["Continent"]) == ["Europe", "South America", "North America",
+                                      "Africa", "Oceania", "Unknown"]
+    assert list(out["economy"])[:2] == ["Developed: G7", "Emerging: BRIC"]
+    # latitude-band Köppen: 52.5N→D, 15.8S→A, 39N→C, 1.3S→A, 25S→B, 0→A
+    assert list(out["Koppen_Class"]) == ["D", "A", "C", "A", "B", "A"]
