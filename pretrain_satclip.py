@@ -126,6 +126,16 @@ def main():
     def save_params():
         ckptr.save(ckpt_path, jax.device_get(state.params), force=True)
         ckptr.wait_until_finished()
+        # architecture sidecar so SatClipWrapper can rebuild the location
+        # encoder from this native checkpoint (analogue of the torch
+        # Lightning ckpt's hyper_parameters the reference loader reads)
+        import json
+
+        with open(os.path.join(args.out, "satclip_hparams.json"), "w") as f:
+            json.dump({"le_type": args.le_type, "pe_type": args.pe_type,
+                       "legendre_polys": args.legendre_polys,
+                       "harmonics_calculation": "analytic",
+                       "embed_dim": args.embed_dim}, f)
 
     class _EveryNth:
         """Deterministic 1-in-20 holdout (the reference's S2GeoDataModule

@@ -269,3 +269,38 @@ def test_pretrain_mesh_matches_single_device():
     a = jax.device_get(jax.tree.leaves(s1.params)[0])
     b = jax.device_get(jax.tree.leaves(s8.params)[0])
     np.testing.assert_allclose(a, b, atol=2e-6)
+
+
+def test_native_pretrain_checkpoint_into_wrapper(tmp_path):
+    """pretrain_satclip.py output (orbax params + hparams sidecar) loads
+    back through SatClipWrapper — the reference's pretrain→inject workflow
+    (load.py:3-17) done natively, no torch checkpoint involved."""
+    import json
+
+    import jax
+    import orbax.checkpoint as ocp
+
+    from nirgan_tpu.models.satclip.wrapper import SatClipWrapper
+    from nirgan_tpu.tasks.satclip_pretrain import SatClipPretrainTask
+
+    task = SatClipPretrainTask(embed_dim=16, vision_layers=2, vision_width=32,
+                               vision_patch_size=16, image_resolution=32,
+                               capacity=32)
+    state = task.init_state(seed=0)
+    out = tmp_path / "pre"
+    out.mkdir()
+    ck = ocp.StandardCheckpointer()
+    ck.save(str(out / "satclip_ckpt"), jax.device_get(state.params), force=True)
+    ck.wait_until_finished()
+    with open(out / "satclip_hparams.json", "w") as f:
+        json.dump({"le_type": "sphericalharmonics", "pe_type": "siren",
+                   "legendre_polys": 10, "harmonics_calculation": "analytic",
+                   "embed_dim": 16}, f)
+
+    w = SatClipWrapper(str(out))
+    assert w.loaded_from == str(out)
+    assert w.embed_dim == 16
+    coords = _coords(5)
+    got = w.predict(coords)
+    ref = np.asarray(task.location_encoder(state)(coords))
+    np.testing.assert_allclose(got, ref, atol=2e-4)
