@@ -159,22 +159,39 @@ class PackedS2GeoDataset:
 
 
 class FakeS2GeoDataset:
-    """Procedural stand-in for tests / smoke training."""
+    """Procedural stand-in for tests / smoke training.
+
+    ``mode="geo"``: the 4th (NIR) channel is the same coordinate-dependent
+    soil/veg blend as ``FakeDataset(mode="geo")`` (``datasets.py``), so the
+    image content genuinely correlates with location and the contrastive
+    objective has real geographic structure to align — a meaningful native
+    pretraining signal for the pretrain→inject workflow."""
 
     def __init__(self, length: int = 32, crop: int = 64, channels: int = 4,
-                 augment: bool = True, seed: int = 0):
+                 augment: bool = True, seed: int = 0, mode: str = "rand"):
         self.length, self.crop, self.channels = length, crop, channels
         self.augment, self.seed = augment, seed
+        if mode not in ("rand", "geo"):
+            raise ValueError(f"FakeS2GeoDataset mode {mode!r} not in ('rand','geo')")
+        self.mode = mode
 
     def __len__(self):
         return self.length
 
     def __getitem__(self, idx):
         rng = np.random.default_rng(self.seed * 104_729 + idx)
-        img = rng.random((self.channels, self.crop + 16, self.crop + 16),
-                         dtype=np.float32)
+        s = self.crop + 16
+        img = rng.random((self.channels, s, s), dtype=np.float32)
         point = np.asarray([rng.uniform(-180, 180), rng.uniform(-90, 90)],
                            np.float32)
+        if self.mode == "geo" and self.channels >= 4:
+            from nirgan_tpu.data.datasets import FakeDataset
+
+            rgb = img[:3]
+            veg = np.clip(0.55 * rgb[1] - 0.25 * rgb[0] + 0.35 * rgb[2] + 0.15, 0, 1)
+            soil = np.clip(0.6 * rgb[0] - 0.2 * rgb[1] + 0.3 * rgb[2] + 0.25, 0, 1)
+            g = FakeDataset.geo_mix(float(point[0]), float(point[1]))
+            img[3] = (1.0 - g) * soil + g * veg
         item = {"image": img, "point": point}
         return (train_transform(item, rng, crop=self.crop, blur_p=0.3)
                 if self.augment else

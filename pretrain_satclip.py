@@ -28,6 +28,12 @@ def main():
                         "and exit")
     p.add_argument("--tiles-per-shard", type=int, default=1024)
     p.add_argument("--fake", action="store_true", help="procedural smoke dataset")
+    p.add_argument("--fake-geo", action="store_true",
+                   help="procedural dataset with coordinate-DEPENDENT imagery "
+                        "(real contrastive signal; pairs with FakeDataset geo "
+                        "mode for the pretrain-to-inject demo)")
+    p.add_argument("--fake-length", type=int, default=0,
+                   help="tiles in the procedural dataset (default 4x batch)")
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--image-size", type=int, default=256)
@@ -88,9 +94,11 @@ def main():
         vision_width=args.vision_width, image_resolution=args.image_size,
         learning_rate=args.lr, accumulate_grad_batches=args.accumulate)
 
-    if args.fake or not args.data:
-        ds = FakeS2GeoDataset(length=max(args.batch_size * 4, 64),
-                              crop=args.image_size, channels=task.in_channels)
+    if args.fake or args.fake_geo or not args.data:
+        ds = FakeS2GeoDataset(length=args.fake_length
+                              or max(args.batch_size * 4, 64),
+                              crop=args.image_size, channels=task.in_channels,
+                              mode="geo" if args.fake_geo else "rand")
         if not args.fake:
             print("no --data given; using the procedural smoke dataset")
     else:

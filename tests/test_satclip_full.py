@@ -304,3 +304,20 @@ def test_native_pretrain_checkpoint_into_wrapper(tmp_path):
     got = w.predict(coords)
     ref = np.asarray(task.location_encoder(state)(coords))
     np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
+def test_fake_s2geo_geo_mode():
+    """geo-mode pretraining data: the NIR channel is the coordinate-dependent
+    soil/veg blend (same generative family as FakeDataset geo mode), so the
+    contrastive objective has real location structure."""
+    from nirgan_tpu.data.datasets import FakeDataset
+    from nirgan_tpu.data.s2geo import FakeS2GeoDataset
+
+    ds = FakeS2GeoDataset(length=4, crop=16, augment=False, mode="geo")
+    it = ds[1]
+    img, pt = it["image"], it["point"]
+    rgb = img[:3]
+    veg = np.clip(0.55 * rgb[1] - 0.25 * rgb[0] + 0.35 * rgb[2] + 0.15, 0, 1)
+    soil = np.clip(0.6 * rgb[0] - 0.2 * rgb[1] + 0.3 * rgb[2] + 0.25, 0, 1)
+    g = FakeDataset.geo_mix(float(pt[0]), float(pt[1]))
+    np.testing.assert_allclose(img[3], (1 - g) * soil + g * veg, atol=1e-6)
