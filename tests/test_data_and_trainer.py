@@ -39,6 +39,19 @@ def _cfg(tmp=None, satclip=False):
 
 # ------------------------------------------------------------------- data
 
+
+@pytest.mark.parametrize("path", sorted(glob.glob("configs/*.yaml")))
+def test_every_shipped_config_loads(path):
+    """Every YAML under configs/ parses into a complete Config — catches a
+    new config shipping with a schema typo (the reference has no schema
+    check at all; its configs fail at first attribute access)."""
+    cfg = load_config(path)
+    assert cfg.Data.train_batch_size >= 1
+    # baseline configs omit satclip entirely; plain ones omit the style key
+    sat = getattr(cfg, "satclip", None)
+    if sat is not None and sat.use_satclip:
+        assert sat.satclip_style in ("inject", "concat")
+
 def test_fake_dataset_contract():
     ds = FakeDataset(image_size=64, length=10, return_coords=True)
     item = ds[3]
