@@ -79,7 +79,7 @@ def synthesize_dataset(task, dataset, out_path: str, batch_size: int = 8,
 
     @functools.lru_cache(maxsize=8)
     def fused(h: int, w: int, size: int):
-        def fn(params, stats, hr_nhwc, s2_nhwc, embeds):
+        def fn(params, stats, hr_nhwc, s2_nhwc, embeds, trunk_q):
             # integer DN input (dn_passthrough datasets) is scaled to
             # reflectance here, on device — the host→device transfer carried
             # 2 B/px instead of 4 (ROADMAP ingest bullet)
@@ -90,7 +90,7 @@ def synthesize_dataset(task, dataset, out_path: str, batch_size: int = 8,
                             mode="reflect")
             pred = task.g_apply(params, x,
                                 embeds if inject else None, train=False,
-                                stats=stats)
+                                stats=stats, trunk_q=trunk_q)
             pred = pred.astype(jnp.float32)[:, :h, :w, :]
             if match_histograms:
                 up = resize_bilinear(s2_nhwc, s2_nhwc.shape[1] * 4,
@@ -105,7 +105,7 @@ def synthesize_dataset(task, dataset, out_path: str, batch_size: int = 8,
 
         repl, data = replicated_sharding(mesh), batch_sharding(mesh)
         return jax.jit(fn, in_shardings=(repl, repl, data, data,
-                                         data if inject else repl),
+                                         data if inject else repl, repl),
                        out_shardings=data)
 
     n_written = 0
@@ -148,7 +148,17 @@ def synthesize_dataset(task, dataset, out_path: str, batch_size: int = 8,
                     embeds = embeds[reps]
         h, w = hr.shape[1], hr.shape[2]
         size = task.bucket_for(h, w)
-        dev = fused(h, w, size)(task._params_g, task._stats_g, hr, s2, embeds)
+        if task.wants_int8_serving() and task._trunk_q is None:
+            # calibrate the int8 trunk once from the first batch (replicated
+            # under a mesh: scales are scalars, weights int8 — tiny)
+            x = task._dn_to_reflectance(hr, task.compute_dtype)
+            if (h, w) != (size, size):
+                x = jnp.pad(x, ((0, 0), (0, size - h), (0, size - w), (0, 0)),
+                            mode="reflect")
+            task._trunk_q = task.build_trunk_q(
+                task._params_g, x, embeds if inject else None)
+        dev = fused(h, w, size)(task._params_g, task._stats_g, hr, s2, embeds,
+                                task._trunk_q)
         dev = dev[:n_real]
         if pending is not None:
             flush(pending)

@@ -132,8 +132,12 @@ class ResnetGenerator(nn.Module):
     blocked_stem: bool = True
 
     @nn.compact
-    def __call__(self, x, embeds: Optional[jnp.ndarray] = None, train: bool = False):
+    def __call__(self, x, embeds: Optional[jnp.ndarray] = None, train: bool = False,
+                 trunk_q=None):
         assert self.n_blocks >= 0
+        if trunk_q is not None and (train or self.norm_type != "instance"):
+            raise ValueError("int8 trunk is a serving-only path and requires "
+                             "affine-free InstanceNorm (norm_type='instance')")
         use_bias = use_bias_for(self.norm_type)
         kw = dict(kernel_init=self.kernel_init, param_dtype=self.param_dtype)
         x = x.astype(self.compute_dtype)
@@ -174,8 +178,16 @@ class ResnetGenerator(nn.Module):
         h = Norm(self.norm_type, name="nd1")(h, train)
         h = nn.relu(h)
 
-        # residual trunk
-        for i in range(self.n_blocks):
+        # residual trunk — optionally in int8 (ops/int8_trunk.py, opt-in
+        # serving mode; 1.62× measured, benchmarks/int8_block_probe.py).
+        # The bf16 blocks are simply not constructed under trunk_q: flax
+        # apply tolerates unused entries in the param tree, so the same
+        # checkpoint params serve both paths.
+        if trunk_q is not None:
+            from nirgan_tpu.ops.int8_trunk import int8_trunk_forward
+
+            h = int8_trunk_forward(h, trunk_q, self.padding_type)
+        for i in range(self.n_blocks if trunk_q is None else 0):
             h = ResnetBlock(
                 self.ngf * 4,
                 padding_type=self.padding_type,

@@ -82,6 +82,11 @@ class Px2PxTask:
         # (model/pix2pix.py:183-186); the suite costs 5.8 ms/step at 256² b8
         # (benchmarks/train_breakdown2.py) so the cadence is a real 15%
         self.train_metrics_every = int(tpu.get("train_metrics_every", 10))
+        # opt-in int8 serving trunk (ops/int8_trunk.py): "int8" quantises the
+        # 9-block residual trunk for inference paths — 1.62× on the trunk,
+        # PSNR-guarded (tests/test_int8_trunk.py).  OFF by default: parity
+        # configs serve bf16.
+        self.serving_quant = str(tpu.get("serving_quant", "none"))
 
         sc = config.get("satclip", ConfigNode({"use_satclip": False}))
         self.satclip = bool(sc.get("use_satclip", False))
@@ -151,14 +156,14 @@ class Px2PxTask:
 
     # ------------------------------------------------------------- applies
     def g_apply(self, params, rgb, embeds=None, train: bool = False,
-                stats=None, rng=None):
+                stats=None, rng=None, trunk_q=None):
         """Reflect-pad → generator → crop (reference forward,
         ``model/pix2pix.py:88-110``).  Stateless path (instance/none norm)."""
-        pred, _ = self._g_apply(params, rgb, embeds, train, stats, rng)
+        pred, _ = self._g_apply(params, rgb, embeds, train, stats, rng, trunk_q)
         return pred
 
     def _g_apply(self, params, rgb, embeds=None, train: bool = False,
-                 stats=None, rng=None):
+                 stats=None, rng=None, trunk_q=None):
         """Full apply: returns (pred, new_batch_stats)."""
         x = rgb
         p = self.pad_amount
@@ -170,12 +175,13 @@ class Px2PxTask:
         rngs = ({"dropout": rng}
                 if (self.uses_dropout and train and rng is not None) else None)
         args = (x, embeds) if self.satclip and self.satclip_style == "inject" else (x,)
+        kw = {"trunk_q": trunk_q} if trunk_q is not None else {}
         if train and self.has_bn:
             pred, mut = self.netG.apply(variables, *args, train=True,
                                         mutable=["batch_stats"], rngs=rngs)
             new_stats = mut["batch_stats"]
         else:
-            pred = self.netG.apply(variables, *args, train=train, rngs=rngs)
+            pred = self.netG.apply(variables, *args, train=train, rngs=rngs, **kw)
             new_stats = stats if stats is not None else {}
         if self.use_padding:
             pred = pred[:, p:-p, p:-p, :]
@@ -433,14 +439,36 @@ class Px2PxTask:
         plane = plane * self.satclip_scaling_factor
         return jnp.concatenate([rgb, plane.astype(rgb.dtype)], axis=-1)
 
+    # ------------------------------------------------ int8 serving trunk
+    def wants_int8_serving(self) -> bool:
+        return (self.serving_quant == "int8"
+                and getattr(self.netG, "n_blocks", 0) > 0
+                and not self.has_bn and not self.uses_dropout)
+
+    def build_trunk_q(self, params, x, embeds=None):
+        """Quantise the residual trunk for serving (ops/int8_trunk.py).
+
+        ``x``: a calibration input exactly as ``g_apply`` would receive it
+        (reflectance NHWC float, concat plane already attached on the concat
+        route); one instrumented forward calibrates the per-block residual
+        stream scales, then weights are quantised per output channel."""
+        from nirgan_tpu.ops.int8_trunk import calibrate_trunk, quantize_trunk
+
+        xp = reflect_pad2d(x, self.pad_amount) if self.use_padding else x
+        inject = self.satclip and self.satclip_style == "inject"
+        calib = calibrate_trunk(
+            self.netG, params, xp.astype(self.compute_dtype),
+            embeds if inject else None)
+        return quantize_trunk(params, self.netG.n_blocks, calib)
+
     @functools.lru_cache(maxsize=8)
     def _predict_fn(self, H: int, W: int):
         inject = self.satclip and self.satclip_style == "inject"
 
-        def fn(params_g, stats_g, rgb, embeds):
+        def fn(params_g, stats_g, rgb, embeds, trunk_q):
             pred = self.g_apply(params_g, rgb.astype(self.compute_dtype),
                                 embeds if inject else None, train=False,
-                                stats=stats_g)
+                                stats=stats_g, trunk_q=trunk_q)
             return pred.astype(jnp.float32)
 
         return jax.jit(fn)
@@ -472,8 +500,11 @@ class Px2PxTask:
         size = self.bucket_for(h, w)
         if (h, w) != (size, size):
             x = jnp.pad(x, ((0, 0), (0, size - h), (0, size - w), (0, 0)), mode="reflect")
+        if self.wants_int8_serving() and self._trunk_q is None:
+            # calibrate once, on the first batch served with these params
+            self._trunk_q = self.build_trunk_q(self._params_g, x, ex.get("embeds"))
         pred = self._predict_fn(size, size)(
-            self._params_g, self._stats_g, x, ex.get("embeds"))
+            self._params_g, self._stats_g, x, ex.get("embeds"), self._trunk_q)
         return np.asarray(nhwc_to_nchw(pred[:, :h, :w, :]))
 
     def bind(self, state_or_params) -> "Px2PxTask":
@@ -481,6 +512,7 @@ class Px2PxTask:
         predict API."""
         self._params_g = getattr(state_or_params, "params_g", state_or_params)
         self._stats_g = getattr(state_or_params, "stats_g", {})
+        self._trunk_q = None  # re-calibrated lazily for the new params
         return self
 
     # ------------------------------------------------------------ weights

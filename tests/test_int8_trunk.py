@@ -1,0 +1,174 @@
+"""int8 serving trunk (ops/int8_trunk.py): math exactness, quality guard,
+and task/pipeline wiring.
+
+The mode quantises the residual trunk for inference (opt-in
+``tpu.serving_quant: int8``); these tests pin down (a) the
+IN-in-accumulator-units identity the formulation rests on, (b) the output
+PSNR bound vs the float path, and (c) that the knob flows through
+``predict_step`` and ``synthesize_dataset``.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nirgan_tpu.models.generator import ResnetGenerator
+from nirgan_tpu.ops.int8_trunk import (
+    _conv_moments,
+    _norm_from_moments,
+    _pad2d,
+    _quant_folded,
+    calibrate_trunk,
+    quantize_trunk,
+)
+from nirgan_tpu.ops.norm import instance_norm
+
+
+def _psnr(a, b, rng=2.0):
+    mse = float(np.mean((np.asarray(a, np.float32) - np.asarray(b, np.float32)) ** 2))
+    return 10 * np.log10(rng * rng / mse)
+
+
+def test_in_from_accumulator_units_is_exact():
+    """IN(conv(x, w) + bias) computed from the int8 accumulator (eps
+    adjusted per channel) must equal the real-unit affine-free IN whenever
+    weights and inputs are exactly int8-representable — the invariance the
+    whole formulation rests on, incl. the bias no-op."""
+    rng = np.random.default_rng(0)
+    C = 8
+    # exactly representable activations: integers in [-100, 100] × per-ch scale
+    s_in = np.linspace(0.01, 0.05, C).astype(np.float32)
+    xi = rng.integers(-100, 101, (2, 12, 12, C)).astype(np.float32)
+    x = xi * s_in  # real
+    # weights: int grid × 0.001, with ±max pinned so the folded per-out-channel
+    # scale reproduces the grid exactly after folding by s_in⁻¹-free path
+    w = (rng.integers(-50, 51, (3, 3, C, C)).astype(np.float32)) * 1e-3
+    bias = rng.normal(size=(C,)).astype(np.float32)
+
+    # real path: reflect-pad → conv (+bias) → affine-free IN
+    xp = _pad2d(jnp.asarray(x), "reflect")
+    real = jax.lax.conv_general_dilated(
+        xp, jnp.asarray(w), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
+    real_in = instance_norm(real)
+
+    # quantised path (bias dropped on purpose)
+    w8, eps_adj = _quant_folded(w, jnp.asarray(s_in))
+    x8 = jnp.asarray(np.rint(x / s_in)).astype(jnp.int8)
+    hb, m1, m2 = _conv_moments(_pad2d(x8, "reflect"), w8)
+    got = _norm_from_moments(hb, m1, m2, eps_adj, 12 * 12)
+
+    # bf16 staging of the accumulator bounds agreement at ~bf16 precision
+    assert _psnr(got, real_in, rng=float(np.abs(np.asarray(real_in)).max())) > 45
+
+
+@pytest.fixture(scope="module")
+def small_gen():
+    g = ResnetGenerator(input_nc=3, output_nc=1, ngf=32, n_blocks=9,
+                        compute_dtype=jnp.float32)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 84, 84, 3), jnp.float32) * 0.3
+    params = g.init(jax.random.PRNGKey(0), x)["params"]
+    return g, params, x
+
+
+def test_int8_trunk_output_psnr_guard(small_gen):
+    """End-to-end generator output with the int8 trunk stays within a
+    measured PSNR bound of the float path — on a batch the calibration
+    never saw (margin 1.2 sweep, RESULTS.md)."""
+    g, params, x = small_gen
+    x_unseen = jax.random.uniform(jax.random.PRNGKey(7), (2, 84, 84, 3),
+                                  jnp.float32) * 0.3
+    calib = calibrate_trunk(g, params, x)
+    qp = quantize_trunk(params, 9, calib)
+    for xx in (x, x_unseen):
+        ref = g.apply({"params": params}, xx, train=False)
+        got = g.apply({"params": params}, xx, train=False, trunk_q=qp)
+        assert _psnr(got, ref) > 36.0
+
+
+def test_int8_trunk_rejects_train_and_nonstance_norm(small_gen):
+    g, params, x = small_gen
+    calib = calibrate_trunk(g, params, x)
+    qp = quantize_trunk(params, 9, calib)
+    with pytest.raises(ValueError, match="serving-only"):
+        g.apply({"params": params}, x, train=True, trunk_q=qp,
+                rngs={"dropout": jax.random.PRNGKey(0)})
+
+
+def test_calibration_scales_are_sane(small_gen):
+    g, params, x = small_gen
+    calib = calibrate_trunk(g, params, x)
+    assert len(calib["in"]) == 9 and len(calib["mid"]) == 9
+    for v in calib["in"] + calib["mid"]:
+        assert v.shape == (128,)  # ngf*4
+        assert np.all(np.isfinite(v)) and np.all(v > 0)
+
+
+def _mk_task(quant):
+    from nirgan_tpu.config import load_config
+    from nirgan_tpu.tasks import Px2PxTask
+
+    cfg = load_config("configs/config_px2px.yaml")
+    cfg.base_configs.ngf = 8
+    cfg.base_configs.ndf = 8
+    cfg.Data.padding_amount = 2
+    cfg.tpu.compute_dtype = "float32"
+    cfg.tpu.shape_buckets = [64]
+    cfg.tpu.serving_quant = quant
+    task = Px2PxTask(cfg)
+    state = task.init_state(seed=0, image_size=64)
+    return task, state
+
+
+def test_predict_step_int8_knob():
+    task8, state = _mk_task("int8")
+    taskf, _ = _mk_task("none")
+    rgb = np.random.default_rng(0).random((2, 3, 64, 64), np.float32)
+    task8.bind(state)
+    taskf.bind(state)
+    assert task8.wants_int8_serving() and not taskf.wants_int8_serving()
+    p8 = task8.predict_step(rgb)
+    assert task8._trunk_q is not None  # calibrated lazily on first batch
+    pf = taskf.predict_step(rgb)
+    assert p8.shape == pf.shape == (2, 1, 64, 64)
+    assert _psnr(p8, pf) > 36.0
+    # second call reuses the pack (no recalibration) and stays deterministic
+    p8b = task8.predict_step(rgb)
+    np.testing.assert_array_equal(p8, p8b)
+
+
+class _TinySRDataset:
+    """In-memory SRPairedDataset stand-in (contract of data/SR_dataset_RGB.py)."""
+
+    def __init__(self, n=4, hr=64, lr=16):
+        self.n, self.hr, self.lr = n, hr, lr
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        rng = np.random.default_rng(i)
+        return {
+            "lr": rng.random((3, self.lr, self.lr), dtype=np.float32),
+            "hr": rng.random((3, self.hr, self.hr), dtype=np.float32),
+            "s2_nir": rng.random((1, self.lr, self.lr), dtype=np.float32),
+            "coords": np.zeros(2, np.float32),
+            "id": f"tile_{i:03d}",
+        }
+
+
+def test_synthesize_pipeline_int8(tmp_path):
+    import os
+
+    from nirgan_tpu.inference.synthesize import synthesize_dataset
+
+    task, state = _mk_task("int8")
+    n = synthesize_dataset(task.bind(state), _TinySRDataset(), str(tmp_path / "out"),
+                           batch_size=2, plot_dir=None, num_writers=1)
+    assert n == 4
+    assert task._trunk_q is not None
+    files = sorted(os.listdir(tmp_path / "out"))
+    assert len(files) == 4
+    arr = np.load(tmp_path / "out" / files[0])["nir"]
+    assert arr.dtype == np.float16 and np.all(np.isfinite(arr))
