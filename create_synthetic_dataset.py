@@ -22,6 +22,10 @@ def main():
     p.add_argument("--plot-dir", default=None)
     p.add_argument("--mesh", action="store_true",
                    help="shard serving batches over all local chips")
+    p.add_argument("--quant", choices=["none", "int8"], default=None,
+                   help="serving quantisation override (tpu.serving_quant): "
+                        "int8 runs the residual trunk on the double-rate "
+                        "int8 MXU path, PSNR-guarded (ops/int8_trunk.py)")
     args = p.parse_args()
 
     from nirgan_tpu.runtime import setup_runtime
@@ -35,6 +39,8 @@ def main():
     from nirgan_tpu.train.checkpoint import merge_params
 
     config = load_config(args.config)
+    if args.quant is not None:
+        config.tpu.serving_quant = args.quant
     task = Px2PxTask(config)
     state = task.init_state(seed=0, image_size=64)
     params_g = state.params_g

@@ -8,6 +8,8 @@ PSNR bound vs the float path, and (c) that the knob flows through
 ``predict_step`` and ``synthesize_dataset``.
 """
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -138,6 +140,22 @@ def test_predict_step_int8_knob():
     np.testing.assert_array_equal(p8, p8b)
 
 
+def test_int8_trunk_inject_route():
+    """The inject generator's trunk quantises identically: injection happens
+    upstream of nd1 (generator.py), so calibration just threads ``embeds``
+    through the instrumented forward."""
+    g = ResnetGenerator(input_nc=3, output_nc=1, ngf=16, n_blocks=4,
+                        inject=True, compute_dtype=jnp.float32)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 48, 48, 3), jnp.float32) * 0.3
+    e = jax.random.normal(jax.random.PRNGKey(2), (2, 256), jnp.float32)
+    params = g.init(jax.random.PRNGKey(0), x, e)["params"]
+    calib = calibrate_trunk(g, params, x, e)
+    qp = quantize_trunk(params, 4, calib)
+    ref = g.apply({"params": params}, x, e, train=False)
+    got = g.apply({"params": params}, x, e, train=False, trunk_q=qp)
+    assert _psnr(got, ref) > 36.0
+
+
 class _TinySRDataset:
     """In-memory SRPairedDataset stand-in (contract of data/SR_dataset_RGB.py)."""
 
@@ -172,3 +190,91 @@ def test_synthesize_pipeline_int8(tmp_path):
     assert len(files) == 4
     arr = np.load(tmp_path / "out" / files[0])["nir"]
     assert arr.dtype == np.float16 and np.all(np.isfinite(arr))
+
+
+def test_synthesize_pipeline_int8_mesh(tmp_path):
+    """int8 serving under the data mesh: trunk_q replicates (scalars +
+    int8 kernels), tiles shard — outputs must match the single-device
+    int8 run (same first-batch calibration)."""
+    from nirgan_tpu.inference.synthesize import synthesize_dataset
+    from nirgan_tpu.parallel import create_mesh
+
+    outs = {}
+    for name, mesh in (("single", None), ("mesh", create_mesh(("data",)))):
+        task, state = _mk_task("int8")
+        n = synthesize_dataset(task.bind(state), _TinySRDataset(),
+                               str(tmp_path / name), batch_size=4,
+                               plot_dir=None, num_writers=1, mesh=mesh)
+        assert n == 4 and task._trunk_q is not None
+        outs[name] = np.stack(
+            [np.load(tmp_path / name / f)["nir"]
+             for f in sorted(os.listdir(tmp_path / name))])
+    np.testing.assert_allclose(outs["mesh"].astype(np.float32),
+                               outs["single"].astype(np.float32),
+                               atol=2e-3)
+
+
+@pytest.mark.slow
+def test_int8_trained_weights_quality(tmp_path):
+    """Quality guard on *structured* weights, not just random init: briefly
+    train the torch reference (the visual-parity protocol), convert, and
+    bound int8-vs-float output PSNR on unseen imagery-like tiles.  Records
+    the measured figure in benchmarks/parity_report.json."""
+    import torch
+
+    from tests.conftest import REPO_ROOT, load_reference_module
+    from tests.test_visual_parity import (
+        _imagery_like_tiles,
+        _update_report,
+    )
+
+    networks = load_reference_module("model/networks.py", "ref_networks_i8")
+    if networks is None:
+        pytest.skip("reference checkout not present")
+    torch.manual_seed(0)
+    net = networks.ResnetGenerator(
+        3, 1, 64, norm_layer=networks.get_norm_layer("instance"),
+        use_dropout=False, n_blocks=9)
+    opt = torch.optim.Adam(net.parameters(), lr=2e-4, betas=(0.5, 0.999))
+    x = _imagery_like_tiles(4, 96, seed=1)
+    target = (0.7 * x[:, 1:2] + 0.3 * x[:, 0:1]).clamp(0, 1) * 2 - 1
+    net.train()
+    for _ in range(25):
+        opt.zero_grad()
+        loss = torch.nn.functional.l1_loss(net(x), target)
+        loss.backward()
+        opt.step()
+    sd = {f"netG.{k}": v for k, v in net.state_dict().items()}
+    ckpt = str(tmp_path / "trainedish.ckpt")
+    torch.save({"state_dict": sd}, ckpt)
+
+    import os as _os
+
+    from nirgan_tpu.config import load_config
+    from nirgan_tpu.tasks import Px2PxTask
+    from nirgan_tpu.train.checkpoint import merge_params
+
+    preds = {}
+    for quant in ("int8", "none"):
+        cfg = load_config(_os.path.join(REPO_ROOT, "configs/config_px2px.yaml"))
+        cfg.tpu.compute_dtype = "float32"
+        cfg.tpu.shape_buckets = [96]
+        cfg.tpu.serving_quant = quant
+        task = Px2PxTask(cfg)
+        state = task.init_state(seed=0, image_size=96)
+        loaded = task.load_torch_weights(ckpt)
+        task.bind(merge_params(jax.device_get(state.params_g),
+                               loaded["params_g"]))
+        # calibration batch ≠ eval batch: quality holds on unseen tiles
+        task.predict_step(_imagery_like_tiles(2, 96, seed=3).numpy())
+        preds[quant] = task.predict_step(_imagery_like_tiles(2, 96, seed=2).numpy())
+
+    psnr = _psnr(preds["int8"], preds["none"])
+    _update_report("int8_trained_96", {
+        "setting": "torch reference generator, 25 L1 steps @96² (trained-ish), "
+                   "int8 trunk vs f32 serving path, unseen tiles",
+        "int8_vs_float_psnr_dB": round(float(psnr), 2),
+        "max_abs_delta": round(float(np.max(np.abs(
+            preds["int8"] - preds["none"]))), 6),
+    })
+    assert psnr > 36.0
