@@ -1,0 +1,73 @@
+"""A/B: threaded device-feed prefetch (tpu.prefetch_depth) vs inline feed.
+
+Through the axon tunnel training is upload-bound (RESULTS.md ingest line):
+the per-step host work — batch assembly + the *blocking* part of the
+host→device transfer — serialises with compute in the inline feed.  The
+producer-thread feed (data/pipeline.py DeviceFeed depth>=1) overlaps it.
+On real TPU hosts with PCIe ingest the two should tie (dispatch-async
+device_put already overlaps); the knob targets thin links.
+
+Run on the TPU: python benchmarks/prefetch_ab.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    from nirgan_tpu.runtime import setup_runtime
+
+    setup_runtime()
+    import jax
+    import numpy as np
+
+    from nirgan_tpu.config import load_config
+    from nirgan_tpu.data import dataset_selector
+    from nirgan_tpu.data.pipeline import DeviceFeed
+    from nirgan_tpu.parallel import create_mesh, shard_batch
+    from nirgan_tpu.tasks import Px2PxTask
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_config(os.path.join(root, "configs", "config_px2px.yaml"))
+    cfg.Data.fake_settings.image_size = 256
+    cfg.Data.fake_settings.length = 256
+    cfg.Data.train_batch_size = 32
+    cfg.Data.num_workers = 4
+    task = Px2PxTask(cfg)
+    dm = dataset_selector(cfg)
+    mesh = create_mesh(("data",))
+    state = task.init_state(seed=0, image_size=256)
+    from nirgan_tpu.parallel import replicate
+
+    state = replicate(mesh, state)
+    step = task.make_train_step(mesh)
+
+    prepare = lambda b: shard_batch(mesh, task.extract_batch(b))
+
+    def run(depth, steps=24):
+        nonlocal state
+        feed = DeviceFeed(dm.train_dataloader(), prepare, depth=depth)
+        it = iter(feed)
+        s, _ = step(state, next(it))  # compile/warm outside the window
+        jax.device_get(s.step)
+        n = 0
+        t0 = time.perf_counter()
+        for ex in it:
+            state, _ = step(state, ex)
+            n += 1
+            if n >= steps:
+                break
+        jax.device_get(state.step)  # barrier through the tunnel
+        dt = time.perf_counter() - t0
+        return 32 * n / dt
+
+    for depth in (0, 2, 0, 2):  # interleave to cancel drift
+        ips = run(depth)
+        print(f"depth={depth}: {ips:7.1f} img/s")
+
+
+if __name__ == "__main__":
+    main()

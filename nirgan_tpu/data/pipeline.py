@@ -130,22 +130,72 @@ class Loader:
 class DeviceFeed:
     """Double-buffered device feed: applies ``prepare`` (e.g. the task's
     ``extract_batch`` + mesh sharding) and keeps the next batch's transfer
-    overlapped with the current step's compute."""
+    overlapped with the current step's compute.
 
-    def __init__(self, loader: Loader, prepare):
+    ``depth=0`` (default) interleaves ``prepare`` inline on the consumer
+    thread — ``jax.device_put`` is dispatch-async, so on fast PCIe links one
+    batch is already enough in-flight work.  ``depth>=1`` moves the whole
+    ``prepare`` call (host-side ``extract_batch`` numpy work AND the
+    transfer dispatch, which *blocks* on thin links like the axon tunnel)
+    onto a producer thread feeding a bounded queue — the upload-bound-link
+    overlap of ROADMAP's prefetch bullet.  Batch order is preserved either
+    way; producer exceptions re-raise on the consumer."""
+
+    def __init__(self, loader: Loader, prepare, depth: int = 0):
         self.loader = loader
         self.prepare = prepare
+        self.depth = max(0, int(depth))
 
     def __len__(self):
         return len(self.loader)
 
     def __iter__(self):
-        it = iter(self.loader)
+        if self.depth:
+            yield from self._threaded_iter()
+            return
         pending: Optional[dict] = None
-        for batch in it:
+        for batch in iter(self.loader):
             ready = pending
             pending = self.prepare(batch)  # async device_put starts now
             if ready is not None:
                 yield ready
         if pending is not None:
             yield pending
+
+    def _threaded_iter(self):
+        q: queue.Queue = queue.Queue(maxsize=self.depth)
+        stop = threading.Event()
+
+        def produce():
+            try:
+                for batch in iter(self.loader):
+                    if stop.is_set():
+                        return
+                    q.put(self.prepare(batch))
+                q.put(_DONE)
+            except BaseException as e:  # re-raised on the consumer
+                q.put(_Failure(e))
+
+        t = threading.Thread(target=produce, daemon=True,
+                             name="nirgan-device-feed")
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is _DONE:
+                    break
+                if isinstance(item, _Failure):
+                    raise item.exc
+                yield item
+        finally:
+            stop.set()
+            while not q.empty():  # drain so the producer can exit
+                q.get_nowait()
+
+
+_DONE = object()
+
+
+class _Failure:
+    def __init__(self, exc: BaseException):
+        self.exc = exc

@@ -75,6 +75,10 @@ class Trainer:
 
         if tpu_section(config).get("debug_nans", False):
             jax.config.update("jax_debug_nans", True)
+        # prefetch_depth >= 1 moves batch prep + transfer dispatch onto a
+        # producer thread (DeviceFeed) — overlaps uploads with compute on
+        # upload-bound links; 0 keeps the inline double-buffered feed
+        self.prefetch_depth = int(tpu_section(config).get("prefetch_depth", 0))
 
         self.mesh = mesh if mesh is not None else create_mesh(("data",))
         self.is_main = jax.process_index() == 0
@@ -230,7 +234,8 @@ class Trainer:
         batch_images = self.dm.train_batch_size
 
         while step_no < self.max_steps:
-            for ex in DeviceFeed(self.dm.train_dataloader(), prepare):
+            for ex in DeviceFeed(self.dm.train_dataloader(), prepare,
+                                 depth=self.prefetch_depth):
                 if self._profile_dir and step_no == 10:
                     try:
                         jax.profiler.start_trace(self._profile_dir)

@@ -73,6 +73,48 @@ def test_loader_batching_and_workers():
     assert not np.array_equal(batches[0]["rgb"], b2[0]["rgb"])
 
 
+def test_device_feed_threaded_matches_inline():
+    """depth>=1 (producer-thread prefetch, tpu.prefetch_depth) must deliver
+    the same batches in the same order as the inline double-buffered feed,
+    and re-raise producer exceptions on the consumer."""
+    from nirgan_tpu.data.pipeline import DeviceFeed
+
+    ds = FakeDataset(image_size=16, length=24)
+    mk = lambda: Loader(ds, batch_size=4, shuffle=True, seed=7, drop_last=True)
+    prepare = lambda b: jax.device_put(b["rgb"])
+    inline = [np.asarray(x) for x in DeviceFeed(mk(), prepare, depth=0)]
+    threaded = [np.asarray(x) for x in DeviceFeed(mk(), prepare, depth=2)]
+    assert len(inline) == len(threaded) == 6
+    for a, b in zip(inline, threaded):
+        np.testing.assert_array_equal(a, b)
+
+    def boom(b):
+        raise RuntimeError("prepare failed")
+
+    with pytest.raises(RuntimeError, match="prepare failed"):
+        list(DeviceFeed(mk(), boom, depth=2))
+
+
+def test_trainer_prefetch_depth(tmp_path):
+    """Full trainer loop with the threaded device feed: sharding happens on
+    the producer thread, metrics and checkpoints unchanged."""
+    from nirgan_tpu.train.trainer import Trainer
+
+    cfg = _cfg()
+    cfg.tpu.prefetch_depth = 2
+    task = Px2PxTask(cfg)
+    dm = dataset_selector(cfg)
+    tr = Trainer(task, dm, cfg, logdir=str(tmp_path / "exp"), max_steps=6,
+                 limit_val_batches=1, log_every=3)
+    assert tr.prefetch_depth == 2
+    state = tr.fit()
+    assert int(jax.device_get(state.step)) == 6
+    lines = [json.loads(l) for l in open(tmp_path / "exp" / "metrics.jsonl")]
+    gl = [l["model_loss/generator_total_loss"] for l in lines
+          if "model_loss/generator_total_loss" in l]
+    assert gl and all(np.isfinite(v) for v in gl)
+
+
 def test_npz_folder_dataset(tmp_path):
     for i in range(4):
         rgbn = (np.random.default_rng(i).random((4, 40, 40)) * 10000).astype(np.uint16)
