@@ -454,6 +454,12 @@ class Px2PxTask:
         stream scales, then weights are quantised per output channel."""
         from nirgan_tpu.ops.int8_trunk import calibrate_trunk, quantize_trunk
 
+        # per-channel absmax saturates with a handful of tiles; slicing keeps
+        # the instrumented forward's peak memory bounded at serving batches
+        # (b128 would stage 9×2 big trunk activations for the reductions)
+        x = x[:16]
+        if embeds is not None:
+            embeds = embeds[:16]
         xp = reflect_pad2d(x, self.pad_amount) if self.use_padding else x
         inject = self.satclip and self.satclip_style == "inject"
         calib = calibrate_trunk(
