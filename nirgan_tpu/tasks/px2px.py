@@ -529,3 +529,15 @@ class Px2PxTask:
         from nirgan_tpu.train.torch_convert import convert_px2px_checkpoint
 
         return convert_px2px_checkpoint(path, self.config)
+
+    def export_torch_weights(self, path: str, state_or_params=None) -> str:
+        """Reverse interop: write a reference-loadable ``.ckpt`` (netG.* /
+        netD.* state_dict, ``strict=True``-complete) so models trained here
+        serve in the upstream torch stack.  Defaults to the bound params."""
+        from nirgan_tpu.train.torch_convert import export_px2px_checkpoint
+
+        src = state_or_params if state_or_params is not None else self._params_g
+        params_g = getattr(src, "params_g", src if state_or_params is not None
+                           else self._params_g)
+        params_d = getattr(src, "params_d", None)
+        return export_px2px_checkpoint(params_g, params_d, self.config, path)

@@ -30,6 +30,10 @@ __all__ = [
     "convert_baseline",
     "convert_timm_resnet",
     "convert_timm_vit",
+    "export_resnet_generator",
+    "export_nlayer_discriminator",
+    "export_pixel_discriminator",
+    "export_px2px_checkpoint",
 ]
 
 
@@ -321,3 +325,113 @@ def convert_unet_generator(sd: Mapping[str, np.ndarray], prefix: str = "",
         return out
 
     return {"unet": walk(f"{prefix}model.", num_downs - 1, True)}
+
+
+# ------------------------------------------------------------------ export
+# JAX → torch (the reverse direction): emit a state_dict the *reference*
+# loads with ``strict=True`` (``model/networks.py`` Sequential index
+# layout), so models trained here serve in the upstream torch stack too.
+
+def _rev_conv(p: Mapping, key: str, out: Dict[str, np.ndarray]) -> None:
+    out[f"{key}.weight"] = np.transpose(
+        np.asarray(p["kernel"], np.float32), (3, 2, 0, 1))  # HWIO → OIHW
+    if "bias" in p:
+        out[f"{key}.bias"] = np.asarray(p["bias"], np.float32)
+
+
+def _rev_convT(p: Mapping, key: str, out: Dict[str, np.ndarray]) -> None:
+    out[f"{key}.weight"] = np.transpose(
+        np.asarray(p["kernel"], np.float32), (2, 3, 0, 1))  # HWIO → IOHW
+    if "bias" in p:
+        out[f"{key}.bias"] = np.asarray(p["bias"], np.float32)
+
+
+def _rev_dense(p: Mapping, key: str, out: Dict[str, np.ndarray]) -> None:
+    out[f"{key}.weight"] = np.transpose(np.asarray(p["kernel"], np.float32))
+    if "bias" in p:
+        out[f"{key}.bias"] = np.asarray(p["bias"], np.float32)
+
+
+def export_resnet_generator(params: Mapping, prefix: str = "",
+                            n_blocks: int = 9,
+                            use_dropout: bool = False) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`convert_resnet_generator` — same torch index plan."""
+    blk0 = 10
+    up0 = blk0 + n_blocks
+    conv2_idx = 6 if use_dropout else 5
+    p = prefix
+    sd: Dict[str, np.ndarray] = {}
+    _rev_conv(params["c0"], f"{p}model.1", sd)
+    _rev_conv(params["d0"], f"{p}model.4", sd)
+    _rev_conv(params["d1"], f"{p}model.7", sd)
+    for i in range(n_blocks):
+        _rev_conv(params[f"r{i}"]["conv1"], f"{p}model.{blk0 + i}.conv_block.1", sd)
+        _rev_conv(params[f"r{i}"]["conv2"],
+                  f"{p}model.{blk0 + i}.conv_block.{conv2_idx}", sd)
+    _rev_convT(params["u0"], f"{p}model.{up0}", sd)
+    _rev_convT(params["u1"], f"{p}model.{up0 + 3}", sd)
+    _rev_conv(params["c1"], f"{p}model.{up0 + 7}", sd)
+    if "fc" in params:  # injection-variant extras (generator_inject.py:88-100)
+        _rev_dense(params["fc"], f"{p}fc", sd)
+    if "scale_param" in params:
+        sd[f"{p}scale_param"] = np.asarray(params["scale_param"], np.float32)
+    if "post_correction_param" in params:
+        sd[f"{p}post_correction_param"] = np.asarray(
+            params["post_correction_param"], np.float32)
+    return sd
+
+
+def export_nlayer_discriminator(params: Mapping, prefix: str = "",
+                                n_layers: int = 3) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`convert_nlayer_discriminator`."""
+    p = prefix
+    sd: Dict[str, np.ndarray] = {}
+    _rev_conv(params["conv0"], f"{p}model.0", sd)
+    for n in range(1, n_layers + 1):
+        _rev_conv(params[f"conv{n}"], f"{p}model.{2 + 3 * (n - 1)}", sd)
+    _rev_conv(params[f"conv{n_layers + 1}"], f"{p}model.{2 + 3 * n_layers}", sd)
+    return sd
+
+
+def export_pixel_discriminator(params: Mapping,
+                               prefix: str = "") -> Dict[str, np.ndarray]:
+    """Inverse of :func:`convert_pixel_discriminator`."""
+    p = prefix
+    sd: Dict[str, np.ndarray] = {}
+    _rev_conv(params["conv0"], f"{p}net.0", sd)
+    _rev_conv(params["conv1"], f"{p}net.2", sd)
+    _rev_conv(params["conv2"], f"{p}net.5", sd)
+    return sd
+
+
+def export_px2px_checkpoint(params_g, params_d, config, path: str) -> str:
+    """Write a reference-loadable ``.ckpt`` (``{"state_dict": {netG.*,
+    netD.*}}`` with torch tensors) from flax param trees.  Either tree may
+    be ``None``.  UNet generators are not exported (no serving use case);
+    use the orbax checkpoint for those."""
+    import jax
+    import torch
+
+    bc = config.base_configs
+    sd_np: Dict[str, np.ndarray] = {}
+    if params_g is not None:
+        if bc.netG.startswith("unet"):
+            raise NotImplementedError(
+                "torch export covers the resnet generators; unet checkpoints "
+                "stay in orbax format")
+        sd_np.update(export_resnet_generator(
+            jax.device_get(params_g), prefix="netG.",
+            n_blocks=9 if bc.netG == "resnet_9blocks" else 6,
+            use_dropout=not bc.no_dropout))
+    if params_d is not None:
+        pd = jax.device_get(params_d)
+        if bc.netD == "pixel":
+            sd_np.update(export_pixel_discriminator(pd, prefix="netD."))
+        else:
+            sd_np.update(export_nlayer_discriminator(
+                pd, prefix="netD.",
+                n_layers=3 if bc.netD == "basic" else bc.n_layers_D))
+    state_dict = {k: torch.from_numpy(np.ascontiguousarray(v))
+                  for k, v in sd_np.items()}
+    torch.save({"state_dict": state_dict}, path)
+    return path
