@@ -31,6 +31,7 @@ __all__ = [
     "convert_timm_resnet",
     "convert_timm_vit",
     "export_resnet_generator",
+    "export_unet_generator",
     "export_nlayer_discriminator",
     "export_pixel_discriminator",
     "export_px2px_checkpoint",
@@ -404,11 +405,33 @@ def export_pixel_discriminator(params: Mapping,
     return sd
 
 
+def export_unet_generator(params: Mapping, prefix: str = "",
+                          num_downs: int = 8) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`convert_unet_generator` — same recursive walk over
+    the torch ``UnetSkipConnectionBlock`` nesting."""
+    sd: Dict[str, np.ndarray] = {}
+
+    def walk(tree: Mapping, p: str, depth_below: int, outermost: bool) -> None:
+        innermost = depth_below == 0
+        if outermost:
+            down_i, sub_i, up_i = 0, 1, 3
+        elif innermost:
+            down_i, sub_i, up_i = 1, None, 3
+        else:
+            down_i, sub_i, up_i = 1, 3, 5
+        _rev_conv(tree["down"], f"{p}model.{down_i}", sd)
+        _rev_convT(tree["up"], f"{p}model.{up_i}", sd)
+        if sub_i is not None:
+            walk(tree["sub"], f"{p}model.{sub_i}.", depth_below - 1, False)
+
+    walk(params["unet"], f"{prefix}model.", num_downs - 1, True)
+    return sd
+
+
 def export_px2px_checkpoint(params_g, params_d, config, path: str) -> str:
     """Write a reference-loadable ``.ckpt`` (``{"state_dict": {netG.*,
     netD.*}}`` with torch tensors) from flax param trees.  Either tree may
-    be ``None``.  UNet generators are not exported (no serving use case);
-    use the orbax checkpoint for those."""
+    be ``None``."""
     import jax
     import torch
 
@@ -416,13 +439,14 @@ def export_px2px_checkpoint(params_g, params_d, config, path: str) -> str:
     sd_np: Dict[str, np.ndarray] = {}
     if params_g is not None:
         if bc.netG.startswith("unet"):
-            raise NotImplementedError(
-                "torch export covers the resnet generators; unet checkpoints "
-                "stay in orbax format")
-        sd_np.update(export_resnet_generator(
-            jax.device_get(params_g), prefix="netG.",
-            n_blocks=9 if bc.netG == "resnet_9blocks" else 6,
-            use_dropout=not bc.no_dropout))
+            sd_np.update(export_unet_generator(
+                jax.device_get(params_g), prefix="netG.",
+                num_downs=7 if bc.netG == "unet_128" else 8))
+        else:
+            sd_np.update(export_resnet_generator(
+                jax.device_get(params_g), prefix="netG.",
+                n_blocks=9 if bc.netG == "resnet_9blocks" else 6,
+                use_dropout=not bc.no_dropout))
     if params_d is not None:
         pd = jax.device_get(params_d)
         if bc.netD == "pixel":

@@ -102,6 +102,37 @@ def test_export_inject_generator_strict():
     np.testing.assert_allclose(got, ref, atol=2e-5)
 
 
+def test_export_unet_generator_strict_and_forward():
+    networks = load_reference_module("model/networks.py", "ref_networks_exp3")
+    if networks is None:
+        pytest.skip("reference checkout not present")
+    from nirgan_tpu.models.unet import UnetGenerator
+    from nirgan_tpu.train.torch_convert import (
+        convert_unet_generator,
+        export_unet_generator,
+    )
+
+    g = UnetGenerator(input_nc=3, output_nc=1, num_downs=7, ngf=8,
+                      compute_dtype=jnp.float32)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 128, 128, 3), jnp.float32)
+    params = g.init(jax.random.PRNGKey(0), x)["params"]
+
+    sd = export_unet_generator(jax.device_get(params), num_downs=7)
+    net = networks.UnetGenerator(
+        3, 1, 7, ngf=8, norm_layer=networks.get_norm_layer("instance"),
+        use_dropout=False)
+    missing, unexpected = net.load_state_dict(_to_torch(sd), strict=True)
+    assert not missing and not unexpected
+
+    net.eval()
+    with torch.no_grad():
+        ref = net(torch.from_numpy(
+            np.asarray(x).transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
+    got = np.asarray(g.apply({"params": params}, x, train=False))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+    _tree_equal(params, convert_unet_generator(sd, num_downs=7))
+
+
 def test_export_discriminators_strict():
     networks = load_reference_module("model/networks.py", "ref_networks_exp2")
     if networks is None:
