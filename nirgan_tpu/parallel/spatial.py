@@ -26,17 +26,21 @@ __all__ = ["spatial_predict_fn", "predict_large_tile", "spatial_predict_fn_2d",
 
 
 def spatial_predict_fn(task, mesh, axis: str = "data"):
-    """Build a jitted (params, rgb_nhwc) → nir_nhwc whose activations are
-    H-sharded across ``axis``.  Params replicated; batch stays unsharded
-    (use the data axis for batch OR space, not both, on a 1-D mesh)."""
+    """Build a jitted (params, rgb_nhwc, trunk_q) → nir_nhwc whose
+    activations are H-sharded across ``axis``.  Params (and the optional
+    int8 trunk pack — its IN moment sums become cross-shard all-reduces,
+    like the float path's) replicated; batch stays unsharded (use the data
+    axis for batch OR space, not both, on a 1-D mesh)."""
     repl = NamedSharding(mesh, P())
     rows = NamedSharding(mesh, P(None, axis, None, None))
 
-    def fn(params, rgb):
-        pred = task.g_apply(params, rgb.astype(task.compute_dtype), train=False)
+    def fn(params, rgb, trunk_q):
+        pred = task.g_apply(params, rgb.astype(task.compute_dtype),
+                            train=False, trunk_q=trunk_q)
         return pred.astype(np.float32)
 
-    return jax.jit(fn, in_shardings=(repl, rows), out_shardings=rows), rows
+    return jax.jit(fn, in_shardings=(repl, rows, repl),
+                   out_shardings=rows), rows
 
 
 def spatial_predict_fn_2d(task, mesh, batch_axis: str = "data",
@@ -50,15 +54,17 @@ def spatial_predict_fn_2d(task, mesh, batch_axis: str = "data",
     repl = NamedSharding(mesh, P())
     grid = NamedSharding(mesh, P(batch_axis, h_axis, None, None))
 
-    def fn(params, rgb):
-        pred = task.g_apply(params, rgb.astype(task.compute_dtype), train=False)
+    def fn(params, rgb, trunk_q):
+        pred = task.g_apply(params, rgb.astype(task.compute_dtype),
+                            train=False, trunk_q=trunk_q)
         return pred.astype(np.float32)
 
-    return jax.jit(fn, in_shardings=(repl, grid), out_shardings=grid), grid
+    return jax.jit(fn, in_shardings=(repl, grid, repl),
+                   out_shardings=grid), grid
 
 
 def predict_tiles_2d(task, params_g, rgb_nchw, mesh, batch_axis: str = "data",
-                     h_axis: str = "spatial"):
+                     h_axis: str = "spatial", trunk_q=None):
     """Run a (B, 3, H, W) batch sharded B×H over a 2-D mesh; B must divide
     the ``batch_axis`` size evenly and H must be a multiple of 4·|h_axis|
     (two stride-2 stages need even per-shard splits).  Returns (B,1,H,W)."""
@@ -72,11 +78,12 @@ def predict_tiles_2d(task, params_g, rgb_nchw, mesh, batch_axis: str = "data",
                          f"(4 × mesh '{h_axis}' size {nh})")
     x = np.transpose(rgb, (0, 2, 3, 1))
     fn, grid = spatial_predict_fn_2d(task, mesh, batch_axis, h_axis)
-    pred = fn(params_g, jax.device_put(x, grid))
+    pred = fn(params_g, jax.device_put(x, grid), trunk_q)
     return np.transpose(np.asarray(pred), (0, 3, 1, 2))
 
 
-def predict_large_tile(task, params_g, rgb_nchw, mesh, axis: str = "data"):
+def predict_large_tile(task, params_g, rgb_nchw, mesh, axis: str = "data",
+                       trunk_q=None):
     """Run one (1, 3, H, W) tile H-sharded over the mesh; H must be a
     multiple of 4·mesh_size (the generator's two stride-2 stages need even
     splits per shard).  Returns (1, 1, H, W) numpy."""
@@ -89,5 +96,5 @@ def predict_large_tile(task, params_g, rgb_nchw, mesh, axis: str = "data"):
     x = np.transpose(rgb, (0, 2, 3, 1))
     fn, rows = spatial_predict_fn(task, mesh, axis)
     xd = jax.device_put(x, rows)
-    pred = fn(params_g, xd)
+    pred = fn(params_g, xd, trunk_q)
     return np.transpose(np.asarray(pred), (0, 3, 1, 2))
