@@ -214,6 +214,29 @@ def test_synthesize_pipeline_int8_mesh(tmp_path):
                                atol=2e-3)
 
 
+def test_int8_export_roundtrip(tmp_path):
+    """jax.export of the int8 serving program: the pack rides as a runtime
+    argument; the deserialized artifact reproduces the live int8 output."""
+    from nirgan_tpu.inference.export import export_generator, run_exported
+
+    task, state = _mk_task("int8")
+    task.bind(state)
+    rgb = np.random.default_rng(5).random((2, 3, 64, 64), np.float32)
+    x_nhwc = jnp.asarray(rgb.transpose(0, 2, 3, 1))
+    qp = task.build_trunk_q(state.params_g, x_nhwc)
+
+    blob = export_generator(task, state.params_g, image_size=64, batch_size=2,
+                            trunk_q=qp)
+    path = tmp_path / "int8.nirgan"
+    path.write_bytes(blob)
+    out = np.asarray(run_exported(path.read_bytes(), state.params_g, rgb,
+                                  trunk_q=qp))
+    live = np.asarray(jax.jit(
+        lambda p, x, q: task.g_apply(p, x, train=False, trunk_q=q))(
+        state.params_g, x_nhwc, qp)).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(out, live, atol=1e-5)
+
+
 def test_int8_under_spatial_sharding():
     """int8 trunk on the H-sharded whole-tile path: the explicit IN moment
     sums all-reduce across shards (GSPMD), reflect pads halo — output must
