@@ -121,10 +121,10 @@ def int8_trunk_forward(x, qpack, padding_type: str = "reflect"):
 
 def calibrate_trunk(netG, params, x_padded, embeds=None,
                     n_blocks: Optional[int] = None, margin: float = 1.2):
-    # margin 1.2 is the measured sweet spot: single-batch per-channel absmax
-    # underestimates unseen activations (clipping) below it, and wastes
-    # uniform precision above it (40.0 dB unseen vs 36.8 at 1.02 / 39.1 at
-    # 1.5 — see RESULTS.md int8 calibration sweep).
+    # margin 1.2-1.35 is the measured plateau: single-batch per-channel
+    # absmax underestimates unseen activations (clipping) below it and
+    # wastes uniform precision above it — 39.4 dB unseen at 1.2 vs 36.2 at
+    # 1.02 / 37.4 at 2.0 (benchmarks/int8_margin_sweep.py, RESULTS.md).
     """One instrumented forward → per-channel quantisation scales.
 
     ``x_padded`` must already carry the serving reflect padding (the trunk
