@@ -15,8 +15,13 @@ __all__ = ["create_val_metrics", "run_comparison"]
 
 
 def create_val_metrics(config_path: str, folder: str, dataset=None,
-                       weights_path: str | None = None, max_samples=None):
-    """One model sweep → CSV + context GeoJSON in ``folder``."""
+                       weights_path: str | None = None, max_samples=None,
+                       quant: str | None = None):
+    """One model sweep → CSV + context GeoJSON in ``folder``.
+
+    ``quant`` overrides ``tpu.serving_quant`` — sweeping the same weights
+    with ``none`` vs ``int8`` is the operator's offline quality check for
+    enabling the quantised serving mode."""
     from nirgan_tpu.config import load_config
     from nirgan_tpu.data.select_dataset import dataset_selector
     from nirgan_tpu.tasks import Px2PxTask
@@ -24,6 +29,8 @@ def create_val_metrics(config_path: str, folder: str, dataset=None,
     from nirgan_tpu.validation.spider import spider_validation_callback
 
     config = load_config(config_path)
+    if quant is not None:
+        config.tpu.serving_quant = quant
     task = Px2PxTask(config)
     state = task.init_state(seed=0, image_size=64)
     params_g = state.params_g

@@ -24,6 +24,10 @@ def main():
                    help="weights for the plain model in --compare mode")
     p.add_argument("--out", default="validation_metrics")
     p.add_argument("--max-samples", type=int, default=None)
+    p.add_argument("--quant", choices=["none", "int8"], default=None,
+                   help="override tpu.serving_quant in --config mode: sweep "
+                        "the same weights with none vs int8 to QA the "
+                        "quantised serving mode offline")
     args = p.parse_args()
 
     from nirgan_tpu.runtime import setup_runtime
@@ -47,7 +51,8 @@ def main():
         os.makedirs(args.out, exist_ok=True)
         gdf = create_val_metrics(args.config, args.out,
                                  weights_path=args.weights,
-                                 max_samples=args.max_samples)
+                                 max_samples=args.max_samples,
+                                 quant=args.quant)
         print(f"wrote {len(gdf)} per-sample rows to {args.out}")
     else:
         p.error("give --config or --compare")
