@@ -36,6 +36,9 @@ def main():
                    help="tiles in the procedural dataset (default 4x batch)")
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--prefetch-depth", type=int, default=0,
+                   help="producer-thread device feed depth (see "
+                        "tpu.prefetch_depth); 0 = inline")
     p.add_argument("--image-size", type=int, default=256)
     p.add_argument("--embed-dim", type=int, default=256)
     p.add_argument("--vision", default="resnet",
@@ -179,10 +182,13 @@ def main():
     loader = Loader(train_ds, args.batch_size, shuffle=True, num_workers=4,
                     drop_last=True, process_index=jax.process_index(),
                     process_count=jax.process_count())
+    from nirgan_tpu.data.pipeline import DeviceFeed
+
+    prepare = lambda b: shard_batch(mesh, task.extract_batch(b))
     n, t0 = 0, time.time()
     while n < args.steps:
-        for batch in loader:
-            state, m = step(state, shard_batch(mesh, task.extract_batch(batch)))
+        for ex in DeviceFeed(loader, prepare, depth=args.prefetch_depth):
+            state, m = step(state, ex)
             n += 1
             if n % 10 == 0 or n == 1:
                 loss = float(m["train_loss"])
