@@ -141,6 +141,15 @@ class Px2PxTask:
         # (reference supports norm: batch and no_dropout: false)
         self.has_bn = self.opt.get("norm", "instance") == "batch"
         self.uses_dropout = not self.opt.get("no_dropout", True)
+        if self.serving_quant == "int8" and not (
+                getattr(self.netG, "n_blocks", 0) > 0
+                and not self.has_bn and not self.uses_dropout):
+            import warnings
+
+            warnings.warn(
+                "tpu.serving_quant: int8 ignored — the mode needs a resnet "
+                "generator with affine-free instance norm and no dropout "
+                "(ops/int8_trunk.py); serving will run the float path.")
 
         # --- padding (reference model/pix2pix.py:91-108)
         self.use_padding = bool(config.Data.padding)
