@@ -51,7 +51,9 @@ def generator_flops_per_tile(size: int = SIZE, pad: int = 10, ngf: int = 64,
     return 2.0 * f                                    # MAC → FLOP
 
 
-def measure_jax() -> float:
+def measure_jax() -> "tuple[float, float]":
+    """Returns (bf16 tiles/s, int8-trunk tiles/s — NaN if the side-channel
+    failed)."""
     from nirgan_tpu.runtime import setup_runtime
 
     setup_runtime()

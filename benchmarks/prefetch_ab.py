@@ -33,7 +33,8 @@ def main():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     cfg = load_config(os.path.join(root, "configs", "config_px2px.yaml"))
     cfg.Data.fake_settings.image_size = 256
-    cfg.Data.fake_settings.length = 256
+    # one epoch must outlast warm-up + the 24-step window (b32 → 28 batches)
+    cfg.Data.fake_settings.length = 896
     cfg.Data.train_batch_size = 32
     cfg.Data.num_workers = 4
     task = Px2PxTask(cfg)

@@ -40,6 +40,8 @@ def main():
 
     config = load_config(args.config)
     if args.quant is not None:
+        # reference-schema configs have no tpu: section — create it
+        config["tpu"] = config.get("tpu") or {}
         config.tpu.serving_quant = args.quant
     task = Px2PxTask(config)
     state = task.init_state(seed=0, image_size=64)

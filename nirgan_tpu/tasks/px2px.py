@@ -141,9 +141,7 @@ class Px2PxTask:
         # (reference supports norm: batch and no_dropout: false)
         self.has_bn = self.opt.get("norm", "instance") == "batch"
         self.uses_dropout = not self.opt.get("no_dropout", True)
-        if self.serving_quant == "int8" and not (
-                getattr(self.netG, "n_blocks", 0) > 0
-                and not self.has_bn and not self.uses_dropout):
+        if self.serving_quant == "int8" and not self.wants_int8_serving():
             import warnings
 
             warnings.warn(
@@ -450,9 +448,13 @@ class Px2PxTask:
 
     # ------------------------------------------------ int8 serving trunk
     def wants_int8_serving(self) -> bool:
+        # norm must be exactly 'instance': the formulation normalises the
+        # int32 accumulator through affine-free IN (norm='none' would crash
+        # in the generator, norm='batch' has running stats)
         return (self.serving_quant == "int8"
                 and getattr(self.netG, "n_blocks", 0) > 0
-                and not self.has_bn and not self.uses_dropout)
+                and self.opt.get("norm", "instance") == "instance"
+                and not self.uses_dropout)
 
     def build_trunk_q(self, params, x, embeds=None):
         """Quantise the residual trunk for serving (ops/int8_trunk.py).
@@ -546,7 +548,6 @@ class Px2PxTask:
         from nirgan_tpu.train.torch_convert import export_px2px_checkpoint
 
         src = state_or_params if state_or_params is not None else self._params_g
-        params_g = getattr(src, "params_g", src if state_or_params is not None
-                           else self._params_g)
+        params_g = getattr(src, "params_g", src)
         params_d = getattr(src, "params_d", None)
         return export_px2px_checkpoint(params_g, params_d, self.config, path)

@@ -30,6 +30,8 @@ def create_val_metrics(config_path: str, folder: str, dataset=None,
 
     config = load_config(config_path)
     if quant is not None:
+        # reference-schema configs have no tpu: section — create it
+        config["tpu"] = config.get("tpu") or {}
         config.tpu.serving_quant = quant
     task = Px2PxTask(config)
     state = task.init_state(seed=0, image_size=64)
