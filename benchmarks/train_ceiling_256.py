@@ -48,7 +48,9 @@ def main():
 
     f_g = generator_flops_per_tile(SIZE, 10) * BATCH
     f_full = train_flops_per_image(SIZE) * BATCH
-    f_d = (f_full - 3.0 * f_g) / 10.0
+    # one D forward in FLOPs: f_full = 3·f_g + 5·(one D fwd) — dividing by
+    # 10 (the old code) credited MACs, understating phases C/D by 2x
+    f_d = (f_full - 3.0 * f_g) / 5.0
 
     def timed(label, fn, carry, flops):
         carry = fn(carry)  # compile

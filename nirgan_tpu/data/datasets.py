@@ -82,6 +82,19 @@ class FakeDataset:
         return float(0.5 + 0.25 * np.sin(2.0 * latr)
                      + 0.2 * np.cos(latr) * np.sin(lonr))
 
+    @staticmethod
+    def veg_response(rgb):
+        """Vegetation-like NIR response: high where green dominates red.
+        Shared with FakeS2GeoDataset so both fakes stay one generative
+        family; ``rgb``: (3, H, W) or channel-sliced rows."""
+        return np.clip(0.55 * rgb[1:2] - 0.25 * rgb[0:1]
+                       + 0.35 * rgb[2:3] + 0.15, 0, 1)
+
+    @staticmethod
+    def soil_response(rgb):
+        return np.clip(0.6 * rgb[0:1] - 0.2 * rgb[1:2]
+                       + 0.3 * rgb[2:3] + 0.25, 0, 1)
+
     def __getitem__(self, idx: int) -> dict:
         rng = np.random.default_rng(self.seed * 1_000_003 + idx)
         s = self.image_size
@@ -92,10 +105,9 @@ class FakeDataset:
         rgb = np.clip(rgb / rgb.max(), 0.0, 1.0)
         coords = np.asarray(
             [rng.uniform(-180, 180), rng.uniform(-60, 70)], np.float32)
-        # vegetation-like response: high where green dominates red
-        veg = np.clip(0.55 * rgb[1:2] - 0.25 * rgb[0:1] + 0.35 * rgb[2:3] + 0.15, 0, 1)
+        veg = self.veg_response(rgb)
         if self.mode == "geo":
-            soil = np.clip(0.6 * rgb[0:1] - 0.2 * rgb[1:2] + 0.3 * rgb[2:3] + 0.25, 0, 1)
+            soil = self.soil_response(rgb)
             g = self.geo_mix(float(coords[0]), float(coords[1]))
             nir = np.clip((1.0 - g) * soil + g * veg, 0, 1)
         else:
@@ -302,7 +314,10 @@ class SRPairedDataset:
                                      native_dtype=self.dn_passthrough)
             coords = centroid_lonlat(meta)  # reference SR_dataset_RGB.py:31-37
         if img.dtype.kind in "ui":
-            if self.dn_passthrough:
+            # passthrough only for the dtypes the serving ingest keeps
+            # integer (synthesize.ingest: uint8/uint16) — wider ints would
+            # reach the device as *floats* and skip the on-device DN scale
+            if self.dn_passthrough and img.dtype in (np.uint8, np.uint16):
                 return img, coords
             img = img.astype(np.float32) / self.dn_scale
         return img.astype(np.float32), coords

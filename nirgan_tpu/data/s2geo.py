@@ -188,10 +188,10 @@ class FakeS2GeoDataset:
             from nirgan_tpu.data.datasets import FakeDataset
 
             rgb = img[:3]
-            veg = np.clip(0.55 * rgb[1] - 0.25 * rgb[0] + 0.35 * rgb[2] + 0.15, 0, 1)
-            soil = np.clip(0.6 * rgb[0] - 0.2 * rgb[1] + 0.3 * rgb[2] + 0.25, 0, 1)
+            veg = FakeDataset.veg_response(rgb)
+            soil = FakeDataset.soil_response(rgb)
             g = FakeDataset.geo_mix(float(point[0]), float(point[1]))
-            img[3] = (1.0 - g) * soil + g * veg
+            img[3] = ((1.0 - g) * soil + g * veg)[0]
         item = {"image": img, "point": point}
         return (train_transform(item, rng, crop=self.crop, blur_p=0.3)
                 if self.augment else

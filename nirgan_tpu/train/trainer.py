@@ -140,14 +140,22 @@ class Trainer:
         # this, a multi-host run crashes only at its FIRST train step (after
         # compile), or worse trains a full epoch then dies in validation.
         # (Validation batches of any size are fine: shard_batch pads+masks.)
+        # Single-process runs never crash — shard_batch's replicated
+        # fallback handles uneven batches — so there it is only a perf
+        # warning, not an error.
         n_shards = int(self.mesh.shape.get("data", 1))
         local_quota = max(1, n_shards // jax.process_count())
         tb = int(self.dm.train_batch_size)
         if tb % local_quota:
-            raise ValueError(
-                f"per-host train batch {tb} does not divide the "
-                f"{n_shards}-way data mesh ({local_quota} local devices); "
-                f"set Data.train_batch_size to a multiple of {local_quota}")
+            msg = (f"per-host train batch {tb} does not divide the "
+                   f"{n_shards}-way data mesh ({local_quota} local devices); "
+                   f"set Data.train_batch_size to a multiple of {local_quota}")
+            if jax.process_count() > 1:
+                raise ValueError(msg)
+            import warnings
+
+            warnings.warn(msg + " — training will run the batch fully "
+                          "replicated (correct but wasteful)")
 
     def _install_preemption_handler(self):
         """TPU preemption arrives as SIGTERM; checkpoint 'last' at the next

@@ -172,7 +172,12 @@ def main():
         # the SAME rows as its "local" slice, the global contrastive batch
         # holds P copies of each tile, and the duplicates act as perfect
         # negatives — inflating val_loss by ~ln(P) vs single-host
-        val_loader = Loader(val_ds, min(args.batch_size, max(len(val_ds), 1)),
+        # batch size must fit the PER-HOST slice: with drop_last=True a
+        # batch computed from the global length can exceed the local row
+        # count and silently yield zero val batches under multi-host
+        n_local = len(range(jax.process_index(), len(val_ds),
+                            jax.process_count()))
+        val_loader = Loader(val_ds, min(args.batch_size, max(n_local, 1)),
                             shuffle=False, drop_last=True,
                             process_index=jax.process_index(),
                             process_count=jax.process_count())
