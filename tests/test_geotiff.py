@@ -173,6 +173,25 @@ def test_sr_paired_dataset_reads_geotiff(tmp_path):
                                item["hr"], atol=1e-7)
 
 
+def test_sr_paired_dataset_wide_int_dn_scaled_on_host(tmp_path):
+    """Integer dtypes the serving ingest would NOT keep integer (int32 npz
+    DN tiles) must be DN-scaled on host even under dn_passthrough —
+    otherwise they reach the device as floats and skip the on-device
+    DN/10000 (10^4-too-large generator inputs, found in review)."""
+    from nirgan_tpu.data.datasets import SRPairedDataset
+
+    rng = np.random.default_rng(3)
+    (tmp_path / "LR").mkdir()
+    (tmp_path / "HR").mkdir()
+    np.savez(tmp_path / "LR" / "a.npz",
+             image=rng.integers(0, 10000, (4, 8, 8)).astype(np.int32))
+    np.savez(tmp_path / "HR" / "a.npz",
+             image=rng.integers(0, 10000, (3, 32, 32)).astype(np.int32))
+    item = SRPairedDataset(str(tmp_path), dn_passthrough=True)[0]
+    assert item["hr"].dtype == np.float32
+    assert item["hr"].max() <= 1.0  # DN scale applied on host
+
+
 def test_synthesize_dn_passthrough_matches_float(tmp_path):
     """The serving pipeline on a uint16-DN passthrough dataset (scale on
     device) matches the float-reflectance path.
