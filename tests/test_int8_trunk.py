@@ -214,6 +214,33 @@ def test_synthesize_pipeline_int8_mesh(tmp_path):
                                atol=2e-3)
 
 
+def test_predict_step_int8_concat_route():
+    """Concat route: extract_batch attaches the embedding plane, so the
+    4-ch input reaches calibration exactly as g_apply sees it."""
+    from nirgan_tpu.config import load_config
+    from nirgan_tpu.tasks import Px2PxTask
+
+    preds = {}
+    for quant in ("int8", "none"):
+        cfg = load_config("configs/config_px2px_SatCLIP.yaml")
+        cfg.satclip.satclip_style = "concat"
+        cfg.base_configs.ngf = 8
+        cfg.base_configs.ndf = 8
+        cfg.Data.padding_amount = 2
+        cfg.tpu.compute_dtype = "float32"
+        cfg.tpu.shape_buckets = [64]
+        cfg.tpu.serving_quant = quant
+        task = Px2PxTask(cfg)
+        state = task.init_state(seed=0, image_size=64)
+        task.bind(state)
+        rgb = np.random.default_rng(0).random((2, 3, 64, 64), np.float32)
+        coords = np.asarray([[9.0, 48.0], [-120.0, 35.0]], np.float32)
+        preds[quant] = task.predict_step(rgb, coords=coords)
+        if quant == "int8":
+            assert task._trunk_q is not None
+    assert _psnr(preds["int8"], preds["none"]) > 36.0
+
+
 def test_int8_export_roundtrip(tmp_path):
     """jax.export of the int8 serving program: the pack rides as a runtime
     argument; the deserialized artifact reproduces the live int8 output."""
