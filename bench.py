@@ -17,10 +17,22 @@ exists in this container, so the honest baseline is the hardware ceiling —
 ``vs_baseline`` reports the same fraction (value 0.62 = 62% of
 speed-of-light).  The old torch-host-CPU ratio (~2000×, vacuous) is kept
 only as the labelled ``torch_host_cpu_ratio`` side-channel.
+
+Outage handling: the axon tunnel goes down for hours at a time, and a dead
+backend either raises ("Unable to initialize backend 'axon'") or *hangs
+forever* inside init.  So the default entry point runs a short subprocess
+probe first, then the real measurement in a second subprocess, each under a
+watchdog; on any failure it emits ONE parseable JSON line carrying the last
+good measurement (``benchmarks/last_good_bench.json``, falling back to
+scanning ``BENCH_r*.json``) flagged ``"stale": true`` — and exits 0, so a
+tunnel outage never again costs a round its bench record (round 3's
+``BENCH_r03.json`` had ``parsed: null``).
 """
 
+import glob
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -29,9 +41,12 @@ import numpy as np
 BATCH = 128  # bulk-serving batch; b64→b128 measured +10%, b192 OOMs (RESULTS.md)
 SIZE = 512
 ITERS = 16
-CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "benchmarks", "baseline_torch_cpu.json")
+REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.path.join(REPO, "benchmarks", "baseline_torch_cpu.json")
+LAST_GOOD = os.path.join(REPO, "benchmarks", "last_good_bench.json")
 V5E_BF16_PEAK = 197e12  # TFLOP/s per chip
+PROBE_TIMEOUT_S = int(os.environ.get("NIRGAN_BENCH_PROBE_TIMEOUT", 300))
+MEASURE_TIMEOUT_S = int(os.environ.get("NIRGAN_BENCH_MEASURE_TIMEOUT", 2400))
 
 
 def generator_flops_per_tile(size: int = SIZE, pad: int = 10, ngf: int = 64,
@@ -62,8 +77,7 @@ def measure_jax() -> "tuple[float, float]":
     from nirgan_tpu.config import load_config
     from nirgan_tpu.tasks import Px2PxTask
 
-    cfg = load_config(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   "configs", "config_px2px.yaml"))
+    cfg = load_config(os.path.join(REPO, "configs", "config_px2px.yaml"))
     task = Px2PxTask(cfg)  # bf16 compute, f32 params
     state = task.init_state(seed=0, image_size=SIZE)
     params = state.params_g
@@ -141,7 +155,8 @@ def measure_torch_cpu_baseline() -> float:
     return tps
 
 
-def main():
+def _measure_main():
+    """Child mode: run the real measurement and print the JSON line."""
     tps, tps_int8 = measure_jax()
     base = measure_torch_cpu_baseline()
     cpu_ratio = tps / base if np.isfinite(base) and base > 0 else 0.0
@@ -157,11 +172,109 @@ def main():
         "torch_host_cpu_ratio": round(cpu_ratio, 1),
     }
     if np.isfinite(tps_int8):
-        # opt-in int8-trunk serving mode (tpu.serving_quant: int8; 49.7 dB
-        # PSNR vs float on trained weights, benchmarks/parity_report.json)
+        # opt-in int8-trunk serving mode (tpu.serving_quant: int8; PSNR-
+        # guarded, benchmarks/parity_report.json)
         out["int8_trunk_tiles_per_sec"] = round(tps_int8, 2)
     print(json.dumps(out))
 
 
+def _probe_main():
+    """Child mode: init the backend and push one op through it."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((8, 8), jnp.float32)
+    assert float(jnp.sum(x)) == 64.0
+    print("PROBE_OK", jax.devices()[0].platform)
+
+
+def _load_last_good() -> "dict | None":
+    """Most recent successful measurement, for the outage fallback line."""
+    if os.path.exists(LAST_GOOD):
+        try:
+            with open(LAST_GOOD) as f:
+                return json.load(f)
+        except Exception:
+            pass
+    best = None
+    for path in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json"))):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+            if rec.get("parsed") and rec["parsed"].get("value"):
+                best = dict(rec["parsed"])
+                best["source"] = os.path.basename(path)
+        except Exception:
+            continue
+    return best
+
+
+def _emit_fallback(reason: str) -> None:
+    last = _load_last_good()
+    out = {
+        "metric": "512x512 RGB->NIR inference throughput (bf16, "
+                  "reflect-pad-10) — STALE: TPU unreachable this run, value "
+                  "is the last good measurement",
+        "value": last.get("value") if last else None,
+        "unit": "tiles/sec/chip",
+        "vs_baseline": last.get("vs_baseline") if last else None,
+        "stale": True,
+        "error": reason,
+        "last_good": last,
+    }
+    print(json.dumps(out))
+
+
+def _run_child(mode: str, timeout_s: int) -> "tuple[int, str]":
+    """Run `python bench.py <mode>` under a watchdog; returns (rc, stdout).
+
+    rc=-1 means the watchdog fired (a dead tunnel can hang forever inside
+    backend init, so a plain try/except is not enough).
+    """
+    try:
+        res = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), mode],
+            capture_output=True, text=True, timeout=timeout_s, cwd=REPO)
+        sys.stderr.write(res.stderr[-2000:])
+        return res.returncode, res.stdout
+    except subprocess.TimeoutExpired as e:
+        if e.stderr:
+            err = e.stderr if isinstance(e.stderr, str) else e.stderr.decode()
+            sys.stderr.write(err[-2000:])
+        return -1, ""
+
+
+def main():
+    rc, out = _run_child("--_probe", PROBE_TIMEOUT_S)
+    if rc != 0 or "PROBE_OK" not in out:
+        why = ("backend probe hung >%ds" % PROBE_TIMEOUT_S if rc == -1
+               else "backend probe failed (rc=%d) — axon tunnel down?" % rc)
+        _emit_fallback(why)
+        return 0
+    rc, out = _run_child("--_measure", MEASURE_TIMEOUT_S)
+    line = next((l for l in reversed(out.strip().splitlines())
+                 if l.startswith("{")), None)
+    if rc != 0 or line is None:
+        why = ("measurement hung >%ds" % MEASURE_TIMEOUT_S if rc == -1
+               else "measurement failed (rc=%d)" % rc)
+        _emit_fallback(why)
+        return 0
+    try:  # persist for future outage fallbacks
+        parsed = json.loads(line)
+        parsed["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        os.makedirs(os.path.dirname(LAST_GOOD), exist_ok=True)
+        with open(LAST_GOOD, "w") as f:
+            json.dump(parsed, f, indent=1)
+    except Exception:
+        pass
+    print(line)
+    return 0
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    if "--_measure" in sys.argv:
+        _measure_main()
+    elif "--_probe" in sys.argv:
+        _probe_main()
+    else:
+        sys.exit(main())

@@ -1,0 +1,116 @@
+"""bench.py must ALWAYS end with one parseable JSON line and exit 0.
+
+Round 3 lost its bench record because a dead axon tunnel made bench.py die
+with a raw traceback (``BENCH_r03.json`` ``parsed: null``).  These tests
+drive the parent orchestration with stubbed children covering every
+outcome: probe hang, probe failure, measurement failure, and success
+(which must also persist ``benchmarks/last_good_bench.json``).
+"""
+
+import importlib.util
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture()
+def bench(tmp_path, monkeypatch):
+    spec = importlib.util.spec_from_file_location(
+        "bench_under_test", os.path.join(REPO, "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    # keep the test hermetic: last-good lives in tmp, seeded like round 2
+    monkeypatch.setattr(mod, "LAST_GOOD", str(tmp_path / "last_good.json"))
+    (tmp_path / "last_good.json").write_text(json.dumps(
+        {"value": 291.7, "unit": "tiles/sec/chip", "vs_baseline": 0.622}))
+    return mod
+
+
+def _stub_children(monkeypatch, bench, outcomes):
+    """outcomes: mode -> (rc, stdout); rc=-1 simulates the watchdog."""
+    calls = []
+
+    def fake(mode, timeout_s):
+        calls.append(mode)
+        return outcomes[mode]
+
+    monkeypatch.setattr(bench, "_run_child", fake)
+    return calls
+
+
+def _last_json_line(capsys):
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out, "bench printed nothing"
+    return json.loads(out[-1])
+
+
+def test_probe_hang_emits_stale_line(bench, monkeypatch, capsys):
+    _stub_children(monkeypatch, bench, {"--_probe": (-1, "")})
+    assert bench.main() == 0
+    rec = _last_json_line(capsys)
+    assert rec["stale"] is True
+    assert rec["value"] == 291.7
+    assert "hung" in rec["error"]
+
+
+def test_probe_failure_emits_stale_line(bench, monkeypatch, capsys):
+    _stub_children(monkeypatch, bench, {"--_probe": (1, "traceback junk")})
+    assert bench.main() == 0
+    rec = _last_json_line(capsys)
+    assert rec["stale"] is True and rec["value"] == 291.7
+
+
+def test_measure_failure_emits_stale_line(bench, monkeypatch, capsys):
+    _stub_children(monkeypatch, bench, {
+        "--_probe": (0, "PROBE_OK axon"),
+        "--_measure": (1, "partial output, no json"),
+    })
+    assert bench.main() == 0
+    rec = _last_json_line(capsys)
+    assert rec["stale"] is True and rec["value"] == 291.7
+
+
+def test_success_passes_through_and_persists(bench, monkeypatch, capsys):
+    good = {"metric": "m", "value": 300.5, "unit": "tiles/sec/chip",
+            "vs_baseline": 0.64}
+    _stub_children(monkeypatch, bench, {
+        "--_probe": (0, "PROBE_OK axon"),
+        "--_measure": (0, "warning noise\n" + json.dumps(good) + "\n"),
+    })
+    assert bench.main() == 0
+    rec = _last_json_line(capsys)
+    assert rec["value"] == 300.5 and "stale" not in rec
+    with open(bench.LAST_GOOD) as f:
+        persisted = json.load(f)
+    assert persisted["value"] == 300.5 and "measured_at" in persisted
+
+
+def test_fallback_scans_bench_records_when_no_last_good(bench, monkeypatch,
+                                                        capsys):
+    os.remove(bench.LAST_GOOD)  # force the BENCH_r*.json scan (real repo files)
+    _stub_children(monkeypatch, bench, {"--_probe": (-1, "")})
+    assert bench.main() == 0
+    rec = _last_json_line(capsys)
+    assert rec["stale"] is True
+    assert rec["value"] == 291.7  # BENCH_r02 parsed value; r03 is null
+    assert rec["last_good"]["source"] == "BENCH_r02.json"
+
+
+def test_real_subprocess_probe_path_is_wired():
+    """Smoke the actual child-mode dispatch (no backend touch needed for
+    a bad mode): `--_probe` on a dead tunnel is covered live by the driver;
+    here just assert the CLI accepts the parent mode with instant-fail
+    timeouts and still exits 0 with a JSON line."""
+    env = dict(os.environ, NIRGAN_BENCH_PROBE_TIMEOUT="1")
+    res = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                         capture_output=True, text=True, timeout=120,
+                         env=env, cwd=REPO)
+    assert res.returncode == 0
+    last = res.stdout.strip().splitlines()[-1]
+    rec = json.loads(last)
+    assert rec["value"] is not None
