@@ -103,6 +103,61 @@ def main():
     report("u0 3x3 convT 256→128 @133²", timed(u0_bf16, (x, w)),
            timed(u0_int8, (x8, w8)), flops)
 
+    # ---- blocked stem: 7×7 s2d-folded conv, 12→64 @266² ----------------
+    # (ops/blocked_stem.py folds the 532² 3-ch stem into 2×2 blocks; the
+    # channel-starved question: does int8 help an MXU-starved conv at all?)
+    H = 266
+    x = jnp.asarray(rng.random((B, H, H, 12), np.float32), jnp.bfloat16)
+    w = jnp.asarray(rng.random((4, 4, 12, 64), np.float32), jnp.bfloat16)
+    x8 = jnp.asarray(rng.integers(-127, 128, (B, H, H, 12)), jnp.int8)
+    w8 = jnp.asarray(rng.integers(-127, 128, (4, 4, 12, 64)), jnp.int8)
+
+    @jax.jit
+    def stem_bf16(x, w, acc):
+        y = lax.conv_general_dilated(x, w, (1, 1), "SAME",
+                                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                                     preferred_element_type=jnp.float32)
+        return acc + jnp.sum(y).astype(jnp.float32)
+
+    @jax.jit
+    def stem_int8(x, w, acc):
+        y = lax.conv_general_dilated(x, w, (1, 1), "SAME",
+                                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                                     preferred_element_type=jnp.int32)
+        return acc + jnp.sum(y.astype(jnp.float32))
+
+    flops = 2 * 16 * 12 * 64 * H * H * B
+    report("stem s2d 4x4 12→64 @266²", timed(stem_bf16, (x, w)),
+           timed(stem_int8, (x8, w8)), flops)
+
+    # ---- UNet hot shapes (VERDICT r3 item 6): the outermost stride-2
+    # convs dominate unet_256 serving FLOPs; all are 4×4 s2 zero-pad-1.
+    for cin, cout, h in ((64, 128, 128), (128, 256, 64), (3, 64, 256)):
+        x = jnp.asarray(rng.random((B, h, h, cin), np.float32), jnp.bfloat16)
+        w = jnp.asarray(rng.random((4, 4, cin, cout), np.float32), jnp.bfloat16)
+        x8 = jnp.asarray(rng.integers(-127, 128, (B, h, h, cin)), jnp.int8)
+        w8 = jnp.asarray(rng.integers(-127, 128, (4, 4, cin, cout)), jnp.int8)
+
+        @jax.jit
+        def un_bf16(x, w, acc):
+            y = lax.conv_general_dilated(
+                x, w, (2, 2), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32)
+            return acc + jnp.sum(y).astype(jnp.float32)
+
+        @jax.jit
+        def un_int8(x, w, acc):
+            y = lax.conv_general_dilated(
+                x, w, (2, 2), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            return acc + jnp.sum(y.astype(jnp.float32))
+
+        flops = 2 * 16 * cin * cout * (h // 2) ** 2 * B
+        report(f"unet 4x4/s2 {cin}→{cout} @{h}²", timed(un_bf16, (x, w)),
+               timed(un_int8, (x8, w8)), flops)
+
 
 if __name__ == "__main__":
     main()

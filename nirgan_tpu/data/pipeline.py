@@ -141,13 +141,39 @@ class DeviceFeed:
     overlap of ROADMAP's prefetch bullet.  Batch order is preserved either
     way; producer exceptions re-raise on the consumer."""
 
-    def __init__(self, loader: Loader, prepare, depth: int = 0):
+    def __init__(self, loader: Loader, prepare, depth: int = 0,
+                 transfer_retries: int = 2):
         self.loader = loader
         self.prepare = prepare
         self.depth = max(0, int(depth))
+        self.transfer_retries = max(0, int(transfer_retries))
 
     def __len__(self):
         return len(self.loader)
+
+    def _prepare(self, batch):
+        """``prepare`` with a bounded retry: the axon-tunnelled backend
+        occasionally fails a host→device transfer with a transient
+        ``INVALID_ARGUMENT`` under sustained upload load (observed twice in
+        benchmarks/prefetch_ab.py, non-reproducible in isolation); one
+        retry recovers it.  Anything else — or a persistent failure —
+        re-raises unchanged."""
+        import jax
+
+        for attempt in range(self.transfer_retries + 1):
+            try:
+                return self.prepare(batch)
+            except jax.errors.JaxRuntimeError as e:
+                if ("INVALID_ARGUMENT" not in str(e)
+                        or attempt == self.transfer_retries):
+                    raise
+                import time
+                import warnings
+
+                warnings.warn(
+                    f"transient device transfer failure (attempt "
+                    f"{attempt + 1}/{self.transfer_retries + 1}): {e}")
+                time.sleep(0.5 * (attempt + 1))
 
     def __iter__(self):
         if self.depth:
@@ -156,7 +182,7 @@ class DeviceFeed:
         pending: Optional[dict] = None
         for batch in iter(self.loader):
             ready = pending
-            pending = self.prepare(batch)  # async device_put starts now
+            pending = self._prepare(batch)  # async device_put starts now
             if ready is not None:
                 yield ready
         if pending is not None:
@@ -171,7 +197,7 @@ class DeviceFeed:
                 for batch in iter(self.loader):
                     if stop.is_set():
                         return
-                    q.put(self.prepare(batch))
+                    q.put(self._prepare(batch))
                 q.put(_DONE)
             except BaseException as e:  # re-raised on the consumer
                 q.put(_Failure(e))

@@ -63,6 +63,17 @@ def _pad(x, padding_type: str, amount: int = 1):
     raise NotImplementedError(f"padding [{padding_type}] is not implemented")
 
 
+class _Tap(nn.Module):
+    """Parameter-free identity; exists so serving-time calibration can
+    capture inner activations that are not module outputs (the post-inject
+    ReLU stream feeding d1 — ``ops/int8_trunk.py calibrate_trunk``).
+    Creates no params, so checkpoints are unaffected."""
+
+    @nn.compact
+    def __call__(self, x):
+        return x
+
+
 class ResnetBlock(nn.Module):
     """Residual block: pad → conv3 → norm → relu (→ dropout) → pad → conv3 →
     norm, plus identity skip (reference ``model/networks.py:377-434``)."""
@@ -174,9 +185,19 @@ class ResnetGenerator(nn.Module):
             h = self._inject(h, embeds)
 
         h = nn.relu(h)
-        h = TorchConv(self.ngf * 4, 3, stride=2, padding=1, use_bias=use_bias, name="d1", **kw)(h)
-        h = Norm(self.norm_type, name="nd1")(h, train)
-        h = nn.relu(h)
+        h = _Tap(name="d1_in")(h)
+        if trunk_q is not None and "d1" in trunk_q:
+            # stage-2 int8: d1 conv + IN + ReLU in accumulator units
+            # (1.37× measured on the shape, benchmarks/int8_stage2_probe.py;
+            # the bf16 d1/nd1 modules are simply not constructed — flax
+            # apply tolerates unused param-tree entries, same as the trunk)
+            from nirgan_tpu.ops.int8_trunk import int8_d1_forward
+
+            h = int8_d1_forward(h, trunk_q["d1"]).astype(self.compute_dtype)
+        else:
+            h = TorchConv(self.ngf * 4, 3, stride=2, padding=1, use_bias=use_bias, name="d1", **kw)(h)
+            h = Norm(self.norm_type, name="nd1")(h, train)
+            h = nn.relu(h)
 
         # residual trunk — optionally in int8 (ops/int8_trunk.py, opt-in
         # serving mode; 1.62× measured, benchmarks/int8_block_probe.py).

@@ -82,8 +82,13 @@ def quantize_trunk(params, n_blocks: int, calib: dict) -> dict:
         eps2.append(e2)
         s_in.append(si)
         s_mid.append(sm)
-    return {"w1": w1, "w2": w2, "eps1": eps1, "eps2": eps2,
+    pack = {"w1": w1, "w2": w2, "eps1": eps1, "eps2": eps2,
             "s_in": s_in, "s_mid": s_mid}
+    if "d1_in" in calib:  # stage-2: the d1 downsample conv (int8_d1_forward)
+        sd1 = jnp.asarray(calib["d1_in"], jnp.float32)
+        wd1, ed1 = _quant_folded(params["d1"]["kernel"], sd1)
+        pack["d1"] = {"w": wd1, "eps": ed1, "s_in": sd1}
+    return pack
 
 
 def _norm_from_moments(hb, m1, m2, eps_adj, n):
@@ -103,6 +108,37 @@ def _conv_moments(x8, w8):
     return a32.astype(jnp.bfloat16), m1, m2
 
 
+def int8_d1_forward(x, qd1):
+    """Stage-2 int8 (opt-in, default OFF — measured slower in context):
+    the d1 downsample conv (3×3 stride-2 zero-pad, 2·ngf→4·ngf) plus its
+    affine-free IN and ReLU, in the same accumulator-unit formulation as
+    the trunk.  Zero padding is exact under symmetric quantisation (no
+    zero point), and the conv bias drops in front of IN like the trunk
+    convs'.  ``x``: the post-inject ReLU stream (B,H,W,2·ngf) float;
+    returns f32 (B,H/2,W/2,4·ngf).
+
+    Measurement record (benchmarks/RESULTS.md round 4): isolated d1 conv
+    1.37× in int8 (int8_stage2_probe.py) but the full serving A/B with d1
+    quantised is 1.28×/1.33× (b32/b128) vs 1.37×/1.36× trunk-only — the
+    input quantise + f32 moment reduction costs more than the 1.07 ms the
+    conv saves at d1's output size, so the mode ships opt-in and off.  The
+    u0/u1 transposed convs stay bf16 by measurement too (int8 1.01× —
+    XLA's double-rate path does not engage with lhs_dilation), and the
+    stem/head are channel-starved (MXU-underfed; dtype cannot help).
+    """
+    x8 = _q8(x.astype(jnp.float32) / qd1["s_in"])
+    acc = lax.conv_general_dilated(
+        x8, qd1["w"], (2, 2), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    a32 = acc.astype(jnp.float32)
+    m1 = jnp.sum(a32, axis=(1, 2))
+    m2 = jnp.sum(jnp.square(a32), axis=(1, 2))
+    n = acc.shape[1] * acc.shape[2]
+    y = _norm_from_moments(a32.astype(jnp.bfloat16), m1, m2, qd1["eps"], n)
+    return jax.nn.relu(y)
+
+
 def int8_trunk_forward(x, qpack, padding_type: str = "reflect"):
     """Run the residual trunk in int8.  ``x``: (B,H,W,C) float stream
     (the generator's post-``relu(nd1)`` activation); returns the same."""
@@ -120,7 +156,8 @@ def int8_trunk_forward(x, qpack, padding_type: str = "reflect"):
 
 
 def calibrate_trunk(netG, params, x_padded, embeds=None,
-                    n_blocks: Optional[int] = None, margin: float = 1.2):
+                    n_blocks: Optional[int] = None, margin: float = 1.2,
+                    stage2: bool = False):
     # margin 1.2-1.35 is the measured plateau: single-batch per-channel
     # absmax underestimates unseen activations (clipping) below it and
     # wastes uniform precision above it — 39.4 dB unseen at 1.2 vs 36.2 at
@@ -135,6 +172,8 @@ def calibrate_trunk(netG, params, x_padded, embeds=None,
     """
     nb = n_blocks if n_blocks is not None else netG.n_blocks
     inputs = {"nd1"} | {f"r{i}" for i in range(nb - 1)}
+    if stage2:
+        inputs = inputs | {"d1_in"}  # _Tap on the d1 input (generator.py)
 
     @jax.jit
     def ranges(p, x, e):
@@ -155,9 +194,11 @@ def calibrate_trunk(netG, params, x_padded, embeds=None,
         s_mid = [jnp.max(jax.nn.relu(
             inter[f"r{i}"]["norm1"]["__call__"][0].astype(jnp.float32)),
             axis=(0, 1, 2)) for i in range(nb)]
-        return s_in, s_mid
+        s_d1 = (amax(inter["d1_in"]["__call__"][0])
+                if "d1_in" in inter else None)
+        return s_in, s_mid, s_d1
 
-    s_in, s_mid = jax.device_get(ranges(params, x_padded, embeds))
+    s_in, s_mid, s_d1 = jax.device_get(ranges(params, x_padded, embeds))
     k = margin / 127.0
 
     def clamp(v):
@@ -165,4 +206,7 @@ def calibrate_trunk(netG, params, x_padded, embeds=None,
         # tensor's live range (their folded weights are ~0 anyway)
         return (v * k).clip(min=max(float(v.max()) * k * 1e-3, 1e-12))
 
-    return {"in": [clamp(v) for v in s_in], "mid": [clamp(v) for v in s_mid]}
+    out = {"in": [clamp(v) for v in s_in], "mid": [clamp(v) for v in s_mid]}
+    if s_d1 is not None:
+        out["d1_in"] = clamp(s_d1)
+    return out

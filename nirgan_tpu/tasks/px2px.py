@@ -456,8 +456,14 @@ class Px2PxTask:
                 and self.opt.get("norm", "instance") == "instance"
                 and not self.uses_dropout)
 
-    def build_trunk_q(self, params, x, embeds=None):
+    def build_trunk_q(self, params, x, embeds=None, stage2: bool = False):
         """Quantise the residual trunk for serving (ops/int8_trunk.py).
+
+        ``stage2=True`` additionally quantises the d1 downsample conv
+        (``int8_d1_forward``) — implemented, correctness-tested, and
+        measured SLOWER in context (1.28× vs the trunk-only 1.37× at b32:
+        the quantise+moment overhead outweighs d1's 1.07 ms conv saving,
+        benchmarks/RESULTS.md round 4), so it defaults off.
 
         ``x``: a calibration input exactly as ``g_apply`` would receive it
         (reflectance NHWC float, concat plane already attached on the concat
@@ -475,7 +481,7 @@ class Px2PxTask:
         inject = self.satclip and self.satclip_style == "inject"
         calib = calibrate_trunk(
             self.netG, params, xp.astype(self.compute_dtype),
-            embeds if inject else None)
+            embeds if inject else None, stage2=stage2)
         return quantize_trunk(params, self.netG.n_blocks, calib)
 
     @functools.lru_cache(maxsize=8)

@@ -89,6 +89,32 @@ def test_int8_trunk_output_psnr_guard(small_gen):
         assert _psnr(got, ref) > 36.0
 
 
+def test_int8_stage2_d1(small_gen):
+    """Stage-2 (the d1 downsample conv, ``int8_d1_forward`` — opt-in,
+    default OFF by measurement): a ``stage2=True`` calibration carries the
+    quantised d1 and the PSNR guard holds; the default pack is trunk-only
+    and the two forwards differ (i.e. the d1 int8 path actually runs)."""
+    g, params, x = small_gen
+    calib = calibrate_trunk(g, params, x, stage2=True)
+    assert "d1_in" in calib and calib["d1_in"].shape == (64,)  # ngf*2
+    qp2 = quantize_trunk(params, 9, calib)
+    assert "d1" in qp2 and qp2["d1"]["w"].dtype == jnp.int8
+    assert qp2["d1"]["w"].shape == (3, 3, 64, 128)
+
+    calib1 = calibrate_trunk(g, params, x)  # default: trunk-only
+    qp1 = quantize_trunk(params, 9, calib1)
+    assert "d1" not in qp1
+
+    x_unseen = jax.random.uniform(jax.random.PRNGKey(7), (2, 84, 84, 3),
+                                  jnp.float32) * 0.3
+    for xx in (x, x_unseen):
+        ref = g.apply({"params": params}, xx, train=False)
+        got2 = g.apply({"params": params}, xx, train=False, trunk_q=qp2)
+        got1 = g.apply({"params": params}, xx, train=False, trunk_q=qp1)
+        assert _psnr(got2, ref) > 36.0
+        assert not np.array_equal(np.asarray(got2), np.asarray(got1))
+
+
 def test_int8_trunk_rejects_train_and_nonstance_norm(small_gen):
     g, params, x = small_gen
     calib = calibrate_trunk(g, params, x)

@@ -5,9 +5,10 @@ container, so the closest achievable check: briefly *train* the torch
 reference generator (so its weights are structured, not random-init),
 convert the checkpoint, and drive both stacks over the same imagery-like
 tiles.  The bar mirrors BASELINE.md (PSNR within 0.1 dB on real weights):
-here we assert the two stacks' predictions agree to >= 50 dB PSNR — far
-inside the 0.1 dB budget — and record the measured delta in
-benchmarks/parity_report.json for the perf log.
+every route measures ~126 dB agreement (after the round-4 post_correction
+test-setup fix, benchmarks/debug_inject_bisect.py) and the per-route bars
+are pinned at measured − 12 dB so a silent regression to "merely very
+good" fails loudly.  Measured deltas land in benchmarks/parity_report.json.
 """
 
 import json
@@ -111,7 +112,8 @@ def test_trained_torch_weights_visual_parity(tmp_path):
         "torch_final_train_l1": round(final_l1, 4),
     }
     _update_report("plain_96", report)
-    assert psnr_agree >= 50.0, report
+    # measured 126.02 dB (parity_report.json); bar = measured − 12
+    assert psnr_agree >= 114.0, report
 
 
 def _psnr_range2(a, b):
@@ -195,6 +197,10 @@ def test_trained_inject_visual_parity_512(tmp_path):
 
     cfg = load_config(os.path.join(REPO_ROOT,
                                    "configs/config_px2px_SatCLIP.yaml"))
+    # the torch side (_ref_inject_cfg) trains WITH post_correction; the
+    # shipped YAML has it off — round-3's 64 dB inject "delta" was exactly
+    # this un-applied 0.9965 trained scalar (benchmarks/debug_inject_bisect.py)
+    cfg.satclip.post_correction = True
     cfg.tpu.compute_dtype = "float32"
     cfg.tpu.shape_buckets = [size]
     task = Px2PxTask(cfg)
@@ -217,7 +223,9 @@ def test_trained_inject_visual_parity_512(tmp_path):
         "max_abs_delta": round(float(np.max(np.abs(got - ref_pred))), 6),
     }
     _update_report("inject_512", report)
-    assert psnr >= 60.0, report
+    # measured 126.02 dB after the round-4 post_correction test fix
+    # (benchmarks/debug_inject_bisect.py); bar = measured − 12
+    assert psnr >= 114.0, report
 
 
 @pytest.mark.slow
@@ -295,7 +303,8 @@ def test_trained_concat_visual_parity_512(tmp_path):
         "max_abs_delta": round(float(np.max(np.abs(got - ref_pred))), 6),
     }
     _update_report("concat_512", report)
-    assert psnr >= 60.0, report
+    # measured 126.02 dB; bar = measured − 12
+    assert psnr >= 114.0, report
 
 
 @pytest.mark.slow
@@ -357,4 +366,5 @@ def test_trained_discriminator_parity_512(tmp_path):
         "logit_range": round(rng_ref, 4),
     }
     _update_report("discriminator_512", report)
-    assert psnr >= 60.0, report
+    # measured 127.23 dB; bar = measured − 12
+    assert psnr >= 115.0, report
