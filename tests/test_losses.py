@@ -7,6 +7,8 @@ independent scipy implementation of the Gaussian-window SSIM algorithm plus
 analytic properties (the reference's kornia dependency is unavailable here).
 """
 
+import os
+
 import numpy as np
 import pytest
 import torch
@@ -239,3 +241,24 @@ def test_ssim_matches_kornia_073_transcription(window):
     out_loss = float(ssim_loss(jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
                                jnp.asarray(np.transpose(y, (0, 2, 3, 1)))))
     assert abs(ref_loss - out_loss) < 1e-6
+
+
+def test_ssim_matches_kornia_fixture():
+    """Real-library cross-check: compares against a fixture generated by
+    actual kornia (tests/golden/generate_kornia_ssim.py — run it once in
+    any environment that has kornia; this container cannot, zero egress).
+    Skips while the fixture is absent; the transcription + scipy oracles
+    above carry the in-container validation either way."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "golden", "ssim_kornia.npz")
+    if not os.path.exists(path):
+        pytest.skip("kornia fixture not generated (needs a kornia install; "
+                    "see tests/golden/generate_kornia_ssim.py)")
+    data = np.load(path)
+    x = np.transpose(data["x"], (0, 2, 3, 1))
+    y = np.transpose(data["y"], (0, 2, 3, 1))
+    for ws in (5, 7, 11):
+        ref = data[f"ssim_w{ws}"]
+        out = np.transpose(np.asarray(
+            ssim(jnp.asarray(x), jnp.asarray(y), ws)), (0, 3, 1, 2))
+        np.testing.assert_allclose(ref, out, rtol=1e-5, atol=1e-6)
