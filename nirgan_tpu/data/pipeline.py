@@ -142,7 +142,7 @@ class DeviceFeed:
     way; producer exceptions re-raise on the consumer."""
 
     def __init__(self, loader: Loader, prepare, depth: int = 0,
-                 transfer_retries: int = 2):
+                 transfer_retries: int = 3):
         self.loader = loader
         self.prepare = prepare
         self.depth = max(0, int(depth))
@@ -173,7 +173,7 @@ class DeviceFeed:
                 warnings.warn(
                     f"transient device transfer failure (attempt "
                     f"{attempt + 1}/{self.transfer_retries + 1}): {e}")
-                time.sleep(0.5 * (attempt + 1))
+                time.sleep(1.0 * (attempt + 1))  # tunnel recovery window
 
     def __iter__(self):
         if self.depth:
