@@ -57,8 +57,16 @@ def main():
         n = 0
         t0 = time.perf_counter()
         for ex in it:
-            state, _ = step(state, ex)
+            state, m = step(state, ex)
             n += 1
+            # production pacing: the trainer pulls metrics every 10th step
+            # (tpu.train_metrics_every).  Without ANY host sync the loop
+            # dispatches 25 MB uploads at ~5/s against the tunnel's
+            # ~57 MB/s — the unbounded async backlog is what produced the
+            # INVALID_ARGUMENT failures (RESULTS.md round 4), not a flaky
+            # tunnel.  This barrier mirrors the real training loop.
+            if n % 10 == 0:
+                float(m["model_loss/generator_total_loss"])
             if n >= steps:
                 break
         jax.device_get(state.step)  # barrier through the tunnel

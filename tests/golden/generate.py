@@ -78,7 +78,10 @@ def main():
     cfg.base_configs.ngf, cfg.base_configs.no_dropout = 8, True
     cfg.satclip.satclip_inject_style = "multiply"
     cfg.satclip.post_correction = True
-    cfg.satclip.post_correction_init = 1.0
+    # non-identity init so the fixture actually exercises the output
+    # scalar (init 1.0 made a missing multiply invisible — the round-4
+    # inject-parity lesson)
+    cfg.satclip.post_correction_init = 0.8
     cfg.satclip.scaling_param = True
     cfg.satclip.scaling_param_init = 0.01
     torch.manual_seed(1)

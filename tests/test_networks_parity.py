@@ -78,7 +78,8 @@ def test_resnet_inject_generator_parity():
     cfg.satclip = _Cfg()
     cfg.satclip.satclip_inject_style = "multiply"
     cfg.satclip.post_correction = True
-    cfg.satclip.post_correction_init = 1.0
+    # non-identity: a missing post-correction multiply must fail the test
+    cfg.satclip.post_correction_init = 0.8
     cfg.satclip.scaling_param = True
     cfg.satclip.scaling_param_init = 0.01
 
@@ -94,7 +95,8 @@ def test_resnet_inject_generator_parity():
 
     jnet = ResnetGenerator(3, 1, 64, norm_type="instance", n_blocks=9, inject=True,
                            inject_style="multiply", scaling_param=True,
-                           scaling_param_init=0.01, post_correction=True)
+                           scaling_param_init=0.01, post_correction=True,
+                           post_correction_init=0.8)
     params = convert_resnet_generator(_sd(tnet), n_blocks=9)
     out = jnet.apply({"params": params}, jnp.asarray(x), jnp.asarray(e))
     np.testing.assert_allclose(_nhwc(ref), np.asarray(out), rtol=1e-4, atol=2e-4)
