@@ -73,6 +73,13 @@ def _flagship_task(image_size, config="configs/config_px2px_SatCLIP.yaml",
     cfg = load_config(os.path.join(REPO, config))
     cfg.tpu.compute_dtype = dtype or ("float32" if SMOKE else "bfloat16")
     cfg.Data.fake_settings.image_size = image_size
+    if SMOKE:
+        # rehearsal validates the script paths, not perf: a tiny net keeps
+        # the single-core CPU compiles (2 meshes × train + 3 mesh shapes ×
+        # 2 quant modes × serve) under a minute each instead of ~10
+        cfg.base_configs.ngf = 8
+        cfg.base_configs.ndf = 8
+        cfg.base_configs.netG = "resnet_6blocks"
     return Px2PxTask(cfg)
 
 
