@@ -5,15 +5,24 @@
 // decoding rasters.  This is the native equivalent: a C++ thread pool that
 // reads .npy tiles (uint16 DN or float32 reflectance, CHW) and GeoTIFFs
 // (striped/tiled, chunky/planar, u8/u16/f32, uncompressed/DEFLATE/LZW/
-// PackBits with the horizontal-differencing predictor — the contract of
-// /root/reference/data/SR_dataset_RGB.py), converts DN/10000 → float32,
-// center-crops, and hands fixed-size buffers to Python through a bounded
-// queue — zero Python in the decode path, GIL never held.
+// PackBits/ZSTD with the horizontal-differencing predictor, plus new-style
+// JPEG (tag 7, baseline 8-bit, JPEGTables splicing) via the system libjpeg
+// — the contract of /root/reference/data/SR_dataset_RGB.py), converts
+// DN/10000 → float32, center-crops, and hands fixed-size buffers to Python
+// through a bounded queue — zero Python in the decode path, GIL never held.
 //
-// Build:  g++ -O3 -march=native -shared -fPIC -o libtileio.so tileio.cc -lpthread -lz
+// Build:  g++ -O3 -march=native -shared -fPIC -o libtileio.so tileio.cc \
+//             -lpthread -lz -lzstd -ljpeg
 // ABI: C, driven via ctypes (nirgan_tpu/data/native_loader.py).
 
+#include <cstddef>  // jpeglib.h uses size_t/FILE without including them
+#include <cstdio>
+
+#include <jpeglib.h>
 #include <zlib.h>
+#include <zstd.h>
+
+#include <csetjmp>
 
 #include <atomic>
 #include <condition_variable>
@@ -175,6 +184,76 @@ static void packbits_decode(const unsigned char* src, size_t n,
   }
 }
 
+// New-style JPEG-in-TIFF (compression=7).  Segments are usually abbreviated
+// streams — quantisation/Huffman tables live once in the JPEGTables tag and
+// are spliced in after the segment's SOI before handing the stream to
+// libjpeg.  libjpeg's default error handler exit()s the process; replace it
+// with a longjmp so a corrupt tile fails the tile, not the trainer.
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  std::jmp_buf env;
+};
+
+static void jpeg_error_trap(j_common_ptr cinfo) {
+  std::longjmp(reinterpret_cast<JpegErr*>(cinfo->err)->env, 1);
+}
+
+// Decode one JPEG segment into exactly rows*row_w*spp interleaved uint8
+// samples (MCU padding cropped, short decodes zero-filled).
+static bool jpeg_decode_seg(const unsigned char* data, size_t n,
+                            const std::vector<unsigned char>& tables,
+                            int rows, int row_w, int spp,
+                            std::vector<unsigned char>& out) {
+  std::vector<unsigned char> merged;
+  const unsigned char* src = data;
+  size_t srcn = n;
+  if (tables.size() > 4 && n > 2 && data[0] == 0xFF && data[1] == 0xD8) {
+    merged.reserve(tables.size() + n);
+    merged.insert(merged.end(), data, data + 2);  // SOI
+    merged.insert(merged.end(), tables.begin() + 2, tables.end() - 2);
+    merged.insert(merged.end(), data + 2, data + n);
+    src = merged.data();
+    srcn = merged.size();
+  }
+  out.assign(size_t(rows) * row_w * spp, 0);
+  std::vector<unsigned char> line;
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_error_trap;
+  if (setjmp(jerr.env)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<unsigned char*>(src),
+               static_cast<unsigned long>(srcn));
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_start_decompress(&cinfo);
+  if (int(cinfo.output_components) != spp) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  line.resize(size_t(cinfo.output_width) * spp);
+  int y = 0;
+  while (cinfo.output_scanline < cinfo.output_height) {
+    unsigned char* lp = line.data();
+    if (jpeg_read_scanlines(&cinfo, &lp, 1) != 1) break;
+    if (y < rows) {
+      size_t w = cinfo.output_width < unsigned(row_w) ? cinfo.output_width
+                                                      : unsigned(row_w);
+      std::memcpy(&out[size_t(y) * row_w * spp], line.data(), w * spp);
+    }
+    ++y;
+  }
+  jpeg_abort_decompress(&cinfo);  // tolerate trailing scanlines we skipped
+  jpeg_destroy_decompress(&cinfo);
+  return true;
+}
+
 // Undo TIFF predictor 2 (horizontal differencing) in place, per row, with
 // the sample dtype's wraparound arithmetic.  row_samples = pixels*spp.
 static void unpredict2(unsigned char* p, size_t n_bytes, int row_samples,
@@ -208,7 +287,8 @@ static bool decode_segment(const std::vector<unsigned char>& buf,
                            uint64_t off, uint64_t cnt, int comp, int pred,
                            int row_samples, int spp, int item, bool be,
                            size_t expect, std::vector<unsigned char>& seg,
-                           const unsigned char** base) {
+                           const unsigned char** base,
+                           const std::vector<unsigned char>* jtab = nullptr) {
   if (comp == 1) {
     if (off + expect > buf.size()) return false;
     if (pred == 1) {
@@ -222,8 +302,19 @@ static bool decode_segment(const std::vector<unsigned char>& buf,
     seg.reserve(expect);
     if (comp == 5) {
       if (!lzw_decode(&buf[off], cnt, seg)) return false;
+    } else if (comp == 7) {
+      static const std::vector<unsigned char> kNoTables;
+      int rows = int(expect / size_t(row_samples));  // item == 1 for JPEG
+      if (!jpeg_decode_seg(&buf[off], cnt, jtab ? *jtab : kNoTables, rows,
+                           row_samples / spp, spp, seg))
+        return false;
     } else if (comp == 32773) {
       packbits_decode(&buf[off], cnt, seg);
+    } else if (comp == 50000) {  // ZSTD (GDAL private tag)
+      seg.resize(expect);
+      size_t got = ZSTD_decompress(seg.data(), expect, &buf[off], cnt);
+      if (ZSTD_isError(got)) return false;
+      seg.resize(got);
     } else {  // 8 / 32946: zlib DEFLATE
       seg.resize(expect);
       uLongf dlen = expect;
@@ -273,7 +364,9 @@ bool read_tiff_chw(const std::string& path, std::vector<float>& out,
       for (uint32_t k = 0; k < count; ++k) {
         const unsigned char* p = v + size_t(k) * kTypeSize[type];
         switch (type) {
-          case 1: t->ivals[k] = *p; break;
+          case 1: case 2: case 6: case 7:  // byte-wide (incl. UNDEFINED)
+            t->ivals[k] = *p;
+            break;
           case 3: t->ivals[k] = rd16(p, be); break;
           case 4: t->ivals[k] = rd32(p, be); break;
           default: t->ivals[k] = 0;
@@ -293,14 +386,26 @@ bool read_tiff_chw(const std::string& path, std::vector<float>& out,
   int comp = int(get1(259, 1)), planar = int(get1(284, 1));
   int sfmt = int(get1(339, 1)), pred = int(get1(317, 1));
   if (!width || !height) return false;
-  if (comp != 1 && comp != 5 && comp != 8 && comp != 32773 && comp != 32946)
+  if (comp != 1 && comp != 5 && comp != 7 && comp != 8 && comp != 32773 &&
+      comp != 32946 && comp != 50000)
     return false;
   bool is_f32 = (sfmt == 3 && bps == 32);
   bool is_u16 = (sfmt == 1 && bps == 16);
   bool is_u8 = (sfmt == 1 && bps == 8);
   if (!is_f32 && !is_u16 && !is_u8) return false;
   if (pred != 1 && (pred != 2 || is_f32)) return false;
+  if (comp == 7 && (!is_u8 || pred != 1)) return false;  // JPEG: 8-bit only
   int item = bps / 8;
+
+  // JPEGTables (tag 347, UNDEFINED): shared tables for abbreviated streams
+  std::vector<unsigned char> jpeg_tables;
+  if (comp == 7) {
+    TiffTag jt;
+    if (get(347, &jt)) {
+      jpeg_tables.reserve(jt.ivals.size());
+      for (uint64_t v : jt.ivals) jpeg_tables.push_back((unsigned char)v);
+    }
+  }
 
   auto sample = [&](const unsigned char* p) -> float {
     if (is_u8) return float(*p);
@@ -334,7 +439,7 @@ bool read_tiff_chw(const std::string& path, std::vector<float>& out,
       size_t expect = size_t(tl) * tw * csz * item;
       const unsigned char* base;
       if (!decode_segment(buf, off, cnt, comp, pred, tw * csz, csz, item, be,
-                          expect, seg, &base))
+                          expect, seg, &base, &jpeg_tables))
         return false;
       for (int y = 0; y < tl && ty * tl + y < height; ++y)
         for (int x = 0; x < tw && tx * tw + x < width; ++x)
@@ -364,7 +469,7 @@ bool read_tiff_chw(const std::string& path, std::vector<float>& out,
       size_t expect = size_t(n_rows) * width * csz * item;
       const unsigned char* base;
       if (!decode_segment(buf, off, cnt, comp, pred, width * csz, csz, item,
-                          be, expect, seg, &base))
+                          be, expect, seg, &base, &jpeg_tables))
         return false;
       for (int y = 0; y < n_rows; ++y)
         for (int x = 0; x < width; ++x)

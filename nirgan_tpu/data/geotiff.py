@@ -6,12 +6,15 @@ DN/10000, centroid → EPSG:4326).  Neither rasterio nor tifffile exists in
 this image, so this module implements the needed subset directly:
 
   * :func:`read_geotiff` — classic (non-Big) TIFF, both byte orders,
-    uncompressed, DEFLATE (zlib/Adobe), LZW (MSB-first, early-change), or
-    PackBits, each with the horizontal-differencing predictor, striped or
-    tiled, chunky or planar, uint8/uint16/float32
-    samples; returns a CHW array plus the georeferencing
-    (``ModelPixelScaleTag``/``ModelTiepointTag``) and the EPSG code from the
-    ``GeoKeyDirectoryTag``.
+    uncompressed, DEFLATE (zlib/Adobe), LZW (MSB-first, early-change),
+    PackBits, ZSTD (tag 50000, GDAL convention, via the system libzstd
+    through ctypes), or new-style JPEG (tag 7, baseline 8-bit, abbreviated
+    streams merged with the ``JPEGTables`` tag, decoded via Pillow's
+    bundled libjpeg) — the lossless codecs each with the
+    horizontal-differencing predictor, striped or tiled, chunky or planar,
+    uint8/uint16/float32 samples; returns a CHW array plus the
+    georeferencing (``ModelPixelScaleTag``/``ModelTiepointTag``) and the
+    EPSG code from the ``GeoKeyDirectoryTag``.
   * :func:`write_geotiff` — minimal striped chunky writer (used by tests and
     dataset-synthesis tooling).
   * :func:`centroid_lonlat` — raster centroid → (lon, lat) in EPSG:4326.
@@ -53,6 +56,8 @@ _TILE_OFFSETS = 324
 _TILE_BYTE_COUNTS = 325
 _PREDICTOR = 317
 _SAMPLE_FORMAT = 339
+_JPEG_TABLES = 347
+_YCBCR_SUBSAMPLING = 530
 _MODEL_PIXEL_SCALE = 33550
 _MODEL_TIEPOINT = 33922
 _GEO_KEY_DIRECTORY = 34735
@@ -195,6 +200,107 @@ def _packbits_encode(data: bytes) -> bytes:
 _DECODERS = {5: _lzw_decode, 32773: _packbits_decode}
 
 
+# ZSTD (compression=50000, the GDAL/libtiff private tag) — no Python zstd
+# binding exists in this image, so bind the system libzstd's one-shot API
+# through ctypes.  GDAL writes frames with the content size recorded, so
+# ZSTD_getFrameContentSize normally sizes the output exactly; streaming
+# frames without it fall back to the caller's expected segment size.
+
+_zstd_cached = None
+_ZSTD_CONTENTSIZE_UNKNOWN = 2**64 - 1  # -2 is ZSTD_CONTENTSIZE_ERROR
+
+
+def _zstd():
+    global _zstd_cached
+    if _zstd_cached is None:
+        import ctypes
+        import ctypes.util
+
+        name = ctypes.util.find_library("zstd") or "libzstd.so.1"
+        lib = ctypes.CDLL(name)
+        lib.ZSTD_getFrameContentSize.restype = ctypes.c_uint64
+        lib.ZSTD_getFrameContentSize.argtypes = [ctypes.c_char_p,
+                                                 ctypes.c_size_t]
+        lib.ZSTD_decompress.restype = ctypes.c_size_t
+        lib.ZSTD_decompress.argtypes = [ctypes.c_void_p, ctypes.c_size_t,
+                                        ctypes.c_char_p, ctypes.c_size_t]
+        lib.ZSTD_compressBound.restype = ctypes.c_size_t
+        lib.ZSTD_compressBound.argtypes = [ctypes.c_size_t]
+        lib.ZSTD_compress.restype = ctypes.c_size_t
+        lib.ZSTD_compress.argtypes = [ctypes.c_void_p, ctypes.c_size_t,
+                                      ctypes.c_char_p, ctypes.c_size_t,
+                                      ctypes.c_int]
+        lib.ZSTD_isError.restype = ctypes.c_uint
+        lib.ZSTD_isError.argtypes = [ctypes.c_size_t]
+        _zstd_cached = lib
+    return _zstd_cached
+
+
+def _zstd_decode(data: bytes, expect_hint: int) -> bytes:
+    import ctypes
+
+    lib = _zstd()
+    size = lib.ZSTD_getFrameContentSize(data, len(data))
+    if size >= _ZSTD_CONTENTSIZE_UNKNOWN - 1:  # unknown/error: trust caller
+        size = expect_hint
+    out = ctypes.create_string_buffer(max(int(size), 1))
+    n = lib.ZSTD_decompress(out, len(out), data, len(data))
+    if lib.ZSTD_isError(n):
+        raise ValueError("corrupt ZSTD stream in TIFF segment")
+    return out.raw[:n]
+
+
+def _zstd_encode(data: bytes, level: int = 9) -> bytes:
+    import ctypes
+
+    lib = _zstd()
+    bound = lib.ZSTD_compressBound(len(data))
+    out = ctypes.create_string_buffer(max(int(bound), 1))
+    n = lib.ZSTD_compress(out, len(out), data, len(data), level)
+    if lib.ZSTD_isError(n):
+        raise ValueError("ZSTD_compress failed")
+    return out.raw[:n]
+
+
+# New-style JPEG-in-TIFF (compression=7): each strip/tile is a JPEG stream,
+# usually abbreviated — quantisation/Huffman tables live once in the
+# JPEGTables tag (347) and must be spliced in after the segment's SOI.
+# Decoding goes through Pillow (baked into this image); the stream is
+# self-describing (component ids distinguish RGB- from YCbCr-coded data,
+# grayscale is 1-component), so the TIFF photometric tag is not needed.
+
+def _jpeg_decode(stream: bytes, tables) -> np.ndarray:
+    import io
+
+    from PIL import Image
+
+    if tables and len(tables) > 4 and stream[:2] == b"\xff\xd8":
+        stream = stream[:2] + bytes(tables)[2:-2] + stream[2:]
+    arr = np.asarray(Image.open(io.BytesIO(stream)))
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    return arr
+
+
+def _jpeg_encode(arr_hwc: np.ndarray, quality: int) -> bytes:
+    import io
+
+    from PIL import Image
+
+    if arr_hwc.shape[2] == 1:
+        im = Image.fromarray(arr_hwc[:, :, 0], "L")
+    elif arr_hwc.shape[2] == 3:
+        im = Image.fromarray(arr_hwc, "RGB")
+    else:
+        raise ValueError("JPEG compression supports 1 or 3 samples per "
+                         "segment (use planar=True for other band counts)")
+    bio = io.BytesIO()
+    # subsampling=0 → 4:4:4, matching the YCbCrSubSampling (1, 1) tag the
+    # writer emits for 3-channel chunky images
+    im.save(bio, "jpeg", quality=quality, subsampling=0)
+    return bio.getvalue()
+
+
 def _read_ifd(buf: bytes, bo: str) -> Dict[int, tuple]:
     (ifd_off,) = struct.unpack(bo + "I", buf[4:8])
     (n_entries,) = struct.unpack(bo + "H", buf[ifd_off:ifd_off + 2])
@@ -202,7 +308,7 @@ def _read_ifd(buf: bytes, bo: str) -> Dict[int, tuple]:
     for i in range(n_entries):
         e = ifd_off + 2 + 12 * i
         tag, typ, count = struct.unpack(bo + "HHI", buf[e:e + 8])
-        if typ not in _TYPE_FMT:
+        if typ not in _TYPE_FMT and typ != 7:
             continue
         size = _TYPE_SIZES[typ] * count
         if size <= 4:
@@ -210,6 +316,9 @@ def _read_ifd(buf: bytes, bo: str) -> Dict[int, tuple]:
         else:
             (off,) = struct.unpack(bo + "I", buf[e + 8:e + 12])
             raw = buf[off:off + size]
+        if typ == 7:  # UNDEFINED — raw bytes (JPEGTables)
+            tags[tag] = raw
+            continue
         if typ == 5:  # RATIONAL — unused by us
             continue
         vals = struct.unpack(bo + str(count) + _TYPE_FMT[typ], raw)
@@ -270,11 +379,16 @@ def read_geotiff(path: str, dn_scale: Optional[float] = None,
     planar = tags.get(_PLANAR_CONFIG, (1,))[0]
     sfmt = tags.get(_SAMPLE_FORMAT, (1,))[0]
     predictor = tags.get(_PREDICTOR, (1,))[0]
-    if comp not in (1, 5, 8, 32773, 32946):  # none/LZW/DEFLATE/PackBits/Adobe
+    # none / LZW / JPEG / DEFLATE / PackBits / Adobe-DEFLATE / ZSTD
+    if comp not in (1, 5, 7, 8, 32773, 32946, 50000):
         raise ValueError(f"{path}: compression={comp} not supported "
-                         "(install rasterio for JPEG/CCITT)")
-    if predictor not in (1, 2):
+                         "(install rasterio for CCITT/LERC exotics)")
+    if predictor not in (1, 2) or (predictor == 2 and comp == 7):
         raise ValueError(f"{path}: predictor={predictor} not supported")
+    if comp == 7 and (sfmt, bps) != (1, 8):
+        raise ValueError(f"{path}: JPEG-in-TIFF is 8-bit only "
+                         f"(got sample format {sfmt}, {bps} bits)")
+    jpeg_tables = tags.get(_JPEG_TABLES)
     dtype = {(1, 8): np.uint8, (1, 16): np.uint16, (1, 32): np.uint32,
              (2, 16): np.int16, (2, 32): np.int32,
              (3, 32): np.float32, (3, 64): np.float64}.get((sfmt, bps))
@@ -287,9 +401,24 @@ def read_geotiff(path: str, dn_scale: Optional[float] = None,
         un-predicted) sample array of ``n_items`` values."""
         if comp == 1:
             arr = np.frombuffer(buf, dt, n_items, off)
+        elif comp == 7:
+            n_rows = n_items // (seg_w * seg_spp)
+            dec = _jpeg_decode(bytes(buf[off:off + cnt]), jpeg_tables)
+            if dec.shape[2] != seg_spp:
+                raise ValueError(f"{path}: JPEG segment has {dec.shape[2]} "
+                                 f"components, TIFF tags say {seg_spp}")
+            # JPEG dims may exceed the segment (MCU padding): crop; short
+            # decodes zero-fill like the other codecs
+            full = np.zeros((n_rows, seg_w, seg_spp), np.uint8)
+            h_, w_ = min(n_rows, dec.shape[0]), min(seg_w, dec.shape[1])
+            full[:h_, :w_] = dec[:h_, :w_]
+            return full.reshape(-1)
         else:
             if comp in _DECODERS:
                 raw = _DECODERS[comp](buf[off:off + cnt])
+            elif comp == 50000:
+                raw = _zstd_decode(bytes(buf[off:off + cnt]),
+                                   n_items * dt.itemsize)
             else:
                 import zlib
 
@@ -362,16 +491,27 @@ def write_geotiff(path: str, img_chw: np.ndarray, *,
                   epsg: int = 4326, planar: bool = False,
                   rows_per_strip: Optional[int] = None,
                   deflate: bool = False, predictor: bool = False,
-                  compression: Optional[str] = None) -> None:
+                  compression: Optional[str] = None,
+                  jpeg_quality: int = 95) -> None:
     """Minimal little-endian GeoTIFF writer (chunky or planar striped,
-    optional DEFLATE / LZW / PackBits with the horizontal-differencing
-    predictor).  ``origin`` is the (x, y) of the raster's top-left corner;
-    ``deflate=True`` is shorthand for ``compression='deflate'``."""
+    optional DEFLATE / LZW / PackBits / ZSTD with the horizontal-differencing
+    predictor, or lossy new-style JPEG for uint8 data).  ``origin`` is the
+    (x, y) of the raster's top-left corner; ``deflate=True`` is shorthand
+    for ``compression='deflate'``.  JPEG strips are self-contained 4:4:4
+    streams (no JPEGTables tag); chunky 3-channel images get photometric
+    YCbCr + a (1, 1) subsampling tag, everything else BlackIsZero."""
     if compression is None:
         compression = "deflate" if deflate else "none"
-    comp_tag = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}[compression]
+    comp_tag = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773,
+                "zstd": 50000, "jpeg": 7}[compression]
     img = np.ascontiguousarray(img_chw)
     c, h, w = img.shape
+    if compression == "jpeg":
+        if img.dtype != np.uint8:
+            raise ValueError("JPEG compression requires uint8 samples")
+        if predictor:
+            raise ValueError("JPEG compression does not combine with the "
+                             "horizontal-differencing predictor")
     if img.dtype == np.uint8:
         bps, sfmt = 8, 1
     elif img.dtype == np.uint16:
@@ -385,6 +525,9 @@ def write_geotiff(path: str, img_chw: np.ndarray, *,
 
     def encode(rows_arr, seg_spp):
         arr = rows_arr
+        if compression == "jpeg":
+            return _jpeg_encode(arr.reshape(arr.shape[0], w, seg_spp),
+                                jpeg_quality)
         if predictor:
             arr = arr.reshape(arr.shape[0], w, seg_spp)
             arr = np.concatenate([arr[:, :1], np.diff(arr, axis=1)], axis=1)
@@ -397,6 +540,8 @@ def write_geotiff(path: str, img_chw: np.ndarray, *,
             data = _lzw_encode(data)
         elif compression == "packbits":
             data = _packbits_encode(data)
+        elif compression == "zstd":
+            data = _zstd_encode(data)
         return data
 
     if planar:
@@ -430,7 +575,11 @@ def write_geotiff(path: str, img_chw: np.ndarray, *,
     add(_COMPRESSION, 3, [comp_tag])
     if predictor:
         add(_PREDICTOR, 3, [2])
-    add(262, 3, [1])  # photometric: BlackIsZero
+    if compression == "jpeg" and not planar and c == 3:
+        add(262, 3, [6])  # photometric: YCbCr (what the JPEG streams code)
+        add(_YCBCR_SUBSAMPLING, 3, [1, 1])  # 4:4:4 (subsampling=0 above)
+    else:
+        add(262, 3, [1])  # photometric: BlackIsZero
     add(_STRIP_OFFSETS, 4, [0] * len(strips))  # patched below
     add(_SAMPLES_PER_PIXEL, 3, [c])
     add(_ROWS_PER_STRIP, 4, [rps])

@@ -2,9 +2,10 @@
 
 Builds the shared library on first use (g++, cached under ``native/build``)
 and exposes ``NativeNpyDataset`` — a drop-in map-free iterable that decodes
-uint16-DN/f32 ``.npy`` and baseline GeoTIFF RGBN tiles in C++ worker
-threads, bypassing Python in the decode path entirely.  Falls back to the numpy reader when no compiler
-is available (``available()`` gates usage).
+uint16-DN/f32 ``.npy`` and GeoTIFF RGBN tiles (incl. DEFLATE/LZW/PackBits/
+ZSTD/JPEG codecs, linking the system zlib/libzstd/libjpeg) in C++ worker
+threads, bypassing Python in the decode path entirely.  Falls back to the
+numpy reader when no compiler is available (``available()`` gates usage).
 """
 
 from __future__ import annotations
@@ -39,7 +40,8 @@ def _load_lib():
                 os.makedirs(_BUILD, exist_ok=True)
                 subprocess.run(
                     ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                     "-o", _LIB_PATH, _SRC, "-lpthread", "-lz"],
+                     "-o", _LIB_PATH, _SRC, "-lpthread", "-lz", "-lzstd",
+                     "-ljpeg"],
                     check=True, capture_output=True)
             lib = ctypes.CDLL(_LIB_PATH)
             lib.tileio_create.restype = ctypes.c_void_p

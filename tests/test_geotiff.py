@@ -259,9 +259,11 @@ def test_deflate_roundtrip(tmp_path, planar, predictor):
 @pytest.mark.parametrize("compression,planar,predictor", [
     ("lzw", False, False), ("lzw", False, True), ("lzw", True, True),
     ("packbits", False, False), ("packbits", True, False),
+    ("zstd", False, False), ("zstd", False, True), ("zstd", True, True),
 ])
 def test_lzw_packbits_roundtrip(tmp_path, compression, planar, predictor):
-    """LZW (early-change) and PackBits GeoTIFFs decode without rasterio."""
+    """LZW (early-change), PackBits, and ZSTD (tag 50000, system libzstd
+    via ctypes) GeoTIFFs decode without rasterio."""
     rng = np.random.default_rng(11)
     img = rng.integers(0, 10000, (4, 21, 14)).astype(np.uint16)
     p = str(tmp_path / "c.tif")
@@ -300,6 +302,123 @@ def test_lzw_cross_check_against_pillow(tmp_path, compression):
     PIL.fromarray(a).save(theirs, compression=compression)
     got, _ = read_geotiff(theirs)
     np.testing.assert_array_equal(got[0], a.astype(np.float32))
+
+
+@pytest.mark.parametrize("channels,planar", [(3, False), (1, False), (4, True)])
+def test_jpeg_in_tiff_roundtrip(tmp_path, channels, planar):
+    """New-style JPEG-in-TIFF (compression=7) writes and reads without
+    rasterio.  Lossy: bound the error instead of asserting equality.
+    Reference analogue: rasterio's free JPEG support at
+    /root/reference/data/SR_dataset_RGB.py:29."""
+    rng = np.random.default_rng(13)
+    # smooth-ish data so JPEG error stays small and the bound is meaningful
+    base = rng.random((channels, 1, 1)) * 128 + 64
+    img = (base + rng.random((channels, 40, 56)) * 24).astype(np.uint8)
+    p = str(tmp_path / "j.tif")
+    write_geotiff(p, img, epsg=32632, planar=planar, rows_per_strip=16,
+                  compression="jpeg", jpeg_quality=95)
+    got, meta = read_geotiff(p)
+    assert got.shape == img.shape
+    assert meta["epsg"] == 32632
+    err = np.abs(got - img.astype(np.float32))
+    assert err.max() < 40 and err.mean() < 4, (err.max(), err.mean())
+    # dn_scale applies to the uint8 samples like any integer raster
+    got2, _ = read_geotiff(p, dn_scale=255.0)
+    np.testing.assert_allclose(got2, got / 255.0, rtol=1e-6)
+
+
+def test_jpeg_in_tiff_rejects_bad_combinations(tmp_path):
+    rng = np.random.default_rng(14)
+    img16 = rng.integers(0, 10000, (3, 8, 8)).astype(np.uint16)
+    with pytest.raises(ValueError, match="uint8"):
+        write_geotiff(str(tmp_path / "a.tif"), img16, compression="jpeg")
+    img8 = (rng.random((3, 8, 8)) * 255).astype(np.uint8)
+    with pytest.raises(ValueError, match="predictor"):
+        write_geotiff(str(tmp_path / "b.tif"), img8, compression="jpeg",
+                      predictor=True)
+    with pytest.raises(ValueError, match="1 or 3"):
+        write_geotiff(str(tmp_path / "c.tif"),
+                      (rng.random((4, 8, 8)) * 255).astype(np.uint8),
+                      compression="jpeg")  # 4-band chunky: use planar
+
+
+def test_jpeg_in_tiff_cross_check_against_pillow(tmp_path):
+    """Both directions against Pillow's libtiff-backed JPEG-in-TIFF codec.
+    PIL→ours exercises the JPEGTables (tag 347) splicing and the
+    RGB-coded-stream case (libtiff writes photometric=2 with component ids
+    'R','G','B'); ours→PIL checks the photometric-6 + 4:4:4 tags we emit."""
+    PIL = pytest.importorskip("PIL.Image")
+    from PIL import features
+    if not features.check("libtiff"):
+        pytest.skip("Pillow built without libtiff")
+    rng = np.random.default_rng(15)
+    a = (rng.random((40, 56, 3)) * 200 + 20).astype(np.uint8)
+
+    theirs = str(tmp_path / "theirs.tif")
+    PIL.fromarray(a).save(theirs, compression="jpeg", quality=95)
+    ours_read, _ = read_geotiff(theirs)
+    pil_read = np.asarray(PIL.open(theirs).convert("RGB"))
+    # same decode path family (libjpeg) → bit-identical
+    np.testing.assert_array_equal(
+        ours_read, pil_read.transpose(2, 0, 1).astype(np.float32))
+
+    ours = str(tmp_path / "ours.tif")
+    write_geotiff(ours, a.transpose(2, 0, 1), compression="jpeg",
+                  jpeg_quality=95)
+    back = np.asarray(PIL.open(ours).convert("RGB"))
+    err = np.abs(back.astype(np.float32) - a.astype(np.float32))
+    assert err.max() < 40 and err.mean() < 4, (err.max(), err.mean())
+
+
+def test_zstd_unknown_content_size_falls_back():
+    """Streaming ZSTD frames omit the content size; the decoder must fall
+    back to the segment's expected byte count instead of failing."""
+    import ctypes
+
+    from nirgan_tpu.data.geotiff import (_ZSTD_CONTENTSIZE_UNKNOWN, _zstd,
+                                         _zstd_decode, _zstd_encode)
+
+    payload = bytes(range(256)) * 8
+    frame = _zstd_encode(payload)
+    assert _zstd_decode(frame, len(payload)) == payload
+    # corrupt stream raises instead of returning garbage
+    with pytest.raises(ValueError):
+        _zstd_decode(b"\x00\x01\x02\x03nonsense", 64)
+
+    # build a frame through the streaming API (no pledged size → the frame
+    # header records no content size)
+    class _Buf(ctypes.Structure):
+        _fields_ = [("p", ctypes.c_void_p), ("size", ctypes.c_size_t),
+                    ("pos", ctypes.c_size_t)]
+
+    lib = _zstd()
+    lib.ZSTD_createCCtx.restype = ctypes.c_void_p
+    lib.ZSTD_freeCCtx.argtypes = [ctypes.c_void_p]
+    lib.ZSTD_compressStream2.restype = ctypes.c_size_t
+    lib.ZSTD_compressStream2.argtypes = [ctypes.c_void_p,
+                                         ctypes.POINTER(_Buf),
+                                         ctypes.POINTER(_Buf), ctypes.c_int]
+    cctx = lib.ZSTD_createCCtx()
+    src = ctypes.create_string_buffer(payload, len(payload))
+    dst = ctypes.create_string_buffer(len(payload) + 1024)
+    outb = _Buf(ctypes.cast(dst, ctypes.c_void_p), len(dst), 0)
+    # feed in two chunks (continue, then end) — a one-shot e_end still
+    # records the content size in the frame header; split input cannot
+    half = len(payload) // 2
+    inb = _Buf(ctypes.cast(src, ctypes.c_void_p), half, 0)
+    rc = lib.ZSTD_compressStream2(cctx, ctypes.byref(outb),
+                                  ctypes.byref(inb), 0)  # ZSTD_e_continue
+    assert not lib.ZSTD_isError(rc) and inb.pos == half
+    inb = _Buf(ctypes.c_void_p(ctypes.addressof(src) + half),
+               len(payload) - half, 0)
+    rc = lib.ZSTD_compressStream2(cctx, ctypes.byref(outb),
+                                  ctypes.byref(inb), 2)  # ZSTD_e_end
+    lib.ZSTD_freeCCtx(cctx)
+    assert rc == 0 and inb.pos == len(payload) - half
+    stream_frame = dst.raw[:outb.pos]
+    assert (lib.ZSTD_getFrameContentSize(stream_frame, len(stream_frame))
+            == _ZSTD_CONTENTSIZE_UNKNOWN)
+    assert _zstd_decode(stream_frame, len(payload)) == payload
 
 
 def test_srpaired_geotiff_dn_scaling(tmp_path):

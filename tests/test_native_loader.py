@@ -174,11 +174,11 @@ def test_native_dataset_returns_geotiff_coords(tmp_path):
 
 @pytest.mark.parametrize("compression,predictor", [
     ("deflate", False), ("deflate", True), ("lzw", False), ("lzw", True),
-    ("packbits", False),
+    ("packbits", False), ("zstd", False), ("zstd", True),
 ])
 def test_native_reader_decodes_compressed_geotiff(tmp_path, compression,
                                                   predictor):
-    """The C++ decode path handles DEFLATE/LZW/PackBits (+predictor-2)
+    """The C++ decode path handles DEFLATE/LZW/PackBits/ZSTD (+predictor-2)
     streams identically to the Python reference reader."""
     from nirgan_tpu.data import native_loader
     from nirgan_tpu.data.geotiff import read_geotiff, write_geotiff
@@ -197,6 +197,48 @@ def test_native_reader_decodes_compressed_geotiff(tmp_path, compression,
     got = {idx: tile for idx, tile in reader}
     reader.close()
     assert sorted(got) == [0, 1]
+    for i, p in enumerate(paths):
+        ref, _ = read_geotiff(p, dn_scale=10000.0)
+        np.testing.assert_allclose(got[i], ref, rtol=0, atol=1e-6)
+
+
+def test_native_reader_decodes_jpeg_geotiff(tmp_path):
+    """New-style JPEG-in-TIFF through the C++ path (system libjpeg,
+    JPEGTables splicing) matches the Python reader (Pillow's libjpeg) —
+    same decoder family, so bit-identical output.  Covers our writer's
+    self-contained YCbCr streams, a planar 4-band file, and a
+    Pillow/libtiff-written file with a shared JPEGTables tag."""
+    from nirgan_tpu.data import native_loader
+    from nirgan_tpu.data.geotiff import read_geotiff, write_geotiff
+
+    if not native_loader.available():
+        pytest.skip("no C++ toolchain")
+    PIL = pytest.importorskip("PIL.Image")
+    rng = np.random.default_rng(41)
+    paths = []
+
+    img3 = (rng.random((3, 24, 24)) * 255).astype(np.uint8)
+    p = str(tmp_path / "chunky3.tif")
+    write_geotiff(p, img3, compression="jpeg", rows_per_strip=8)
+    paths.append(p)
+
+    img4 = (rng.random((4, 24, 24)) * 255).astype(np.uint8)
+    p = str(tmp_path / "planar4.tif")
+    write_geotiff(p, img4, compression="jpeg", planar=True, rows_per_strip=8)
+    paths.append(p)
+
+    arr = (rng.random((24, 24, 3)) * 255).astype(np.uint8)
+    p = str(tmp_path / "piltables.tif")
+    try:
+        PIL.fromarray(arr).save(p, compression="jpeg", quality=95)
+        paths.append(p)
+    except OSError:
+        pass  # Pillow without libtiff: skip this leg only
+
+    reader = native_loader.NativeTileReader(paths, crop=24, n_threads=2)
+    got = {idx: tile for idx, tile in reader}
+    reader.close()
+    assert sorted(got) == list(range(len(paths)))
     for i, p in enumerate(paths):
         ref, _ = read_geotiff(p, dn_scale=10000.0)
         np.testing.assert_allclose(got[i], ref, rtol=0, atol=1e-6)
