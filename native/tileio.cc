@@ -122,6 +122,10 @@ static uint32_t rd32(const unsigned char* p, bool be) {
   return be ? (uint32_t(p[0]) << 24) | (p[1] << 16) | (p[2] << 8) | p[3]
             : (uint32_t(p[3]) << 24) | (p[2] << 16) | (p[1] << 8) | p[0];
 }
+static uint64_t rd64(const unsigned char* p, bool be) {
+  return be ? (uint64_t(rd32(p, be)) << 32) | rd32(p + 4, be)
+            : (uint64_t(rd32(p + 4, be)) << 32) | rd32(p, be);
+}
 
 // TIFF LZW (compression=5): MSB-first codes, 9→12 bits, Clear=256, EOI=257,
 // early-change width growth (the decoder widens at (1<<w)-1 table entries).
@@ -343,32 +347,49 @@ bool read_tiff_chw(const std::string& path, std::vector<float>& out,
   if (buf[0] == 'I' && buf[1] == 'I') be = false;
   else if (buf[0] == 'M' && buf[1] == 'M') be = true;
   else return false;
-  if (rd16(&buf[2], be) != 42) return false;
+  // Classic TIFF (magic 42: u32 offsets, 12-byte entries) or BigTIFF
+  // (magic 43: u64 offsets, 20-byte entries, LONG8 types 16-18) — large
+  // satellite scenes (>4 GB mosaics) ship as BigTIFF.
+  uint16_t magic = rd16(&buf[2], be);
+  if (magic != 42 && magic != 43) return false;
+  bool big = (magic == 43);
+  if (big && (sz < 16 || rd16(&buf[4], be) != 8)) return false;
 
-  uint32_t ifd = rd32(&buf[4], be);
-  if (ifd + 2 > uint32_t(sz)) return false;
-  uint16_t n_entries = rd16(&buf[ifd], be);
-  static const int kTypeSize[13] = {0, 1, 1, 2, 4, 8, 1, 1, 2, 4, 8, 4, 8};
+  uint64_t ifd = big ? rd64(&buf[8], be) : rd32(&buf[4], be);
+  size_t entry_sz = big ? 20 : 12;
+  if (ifd + (big ? 8 : 2) > uint64_t(sz)) return false;
+  uint64_t n_entries = big ? rd64(&buf[ifd], be) : rd16(&buf[ifd], be);
+  uint64_t entries_off = ifd + (big ? 8 : 2);
+  if (entries_off + n_entries * entry_sz > uint64_t(sz)) return false;
+  static const int kTypeSize[19] = {0, 1, 1, 2, 4, 8, 1, 1, 2, 4,
+                                    8, 4, 8, 4, 0, 0, 8, 8, 8};
 
   auto get = [&](int want_tag, TiffTag* t) -> bool {
-    for (int i = 0; i < n_entries; ++i) {
-      const unsigned char* e = &buf[ifd + 2 + 12 * i];
+    for (uint64_t i = 0; i < n_entries; ++i) {
+      const unsigned char* e = &buf[entries_off + entry_sz * i];
       if (rd16(e, be) != want_tag) continue;
       uint16_t type = rd16(e + 2, be);
-      uint32_t count = rd32(e + 4, be);
-      if (type < 1 || type > 12) return false;
-      uint32_t size = kTypeSize[type] * count;
-      const unsigned char* v = size <= 4 ? e + 8 : &buf[rd32(e + 8, be)];
+      uint64_t count = big ? rd64(e + 4, be) : rd32(e + 4, be);
+      if (type < 1 || type > 18 || !kTypeSize[type]) return false;
+      uint64_t size = kTypeSize[type] * count;
+      size_t inline_cap = big ? 8 : 4;
+      const unsigned char* vp = big ? e + 12 : e + 8;
+      uint64_t voff = size <= inline_cap
+                          ? 0
+                          : (big ? rd64(vp, be) : rd32(vp, be));
+      if (size > inline_cap && voff + size > uint64_t(sz)) return false;
+      const unsigned char* v = size <= inline_cap ? vp : &buf[voff];
       t->type = type;
       t->ivals.resize(count);
-      for (uint32_t k = 0; k < count; ++k) {
+      for (uint64_t k = 0; k < count; ++k) {
         const unsigned char* p = v + size_t(k) * kTypeSize[type];
         switch (type) {
           case 1: case 2: case 6: case 7:  // byte-wide (incl. UNDEFINED)
             t->ivals[k] = *p;
             break;
           case 3: t->ivals[k] = rd16(p, be); break;
-          case 4: t->ivals[k] = rd32(p, be); break;
+          case 4: case 13: t->ivals[k] = rd32(p, be); break;
+          case 16: case 17: case 18: t->ivals[k] = rd64(p, be); break;
           default: t->ivals[k] = 0;
         }
       }

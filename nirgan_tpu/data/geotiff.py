@@ -63,8 +63,9 @@ _MODEL_TIEPOINT = 33922
 _GEO_KEY_DIRECTORY = 34735
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
-               11: 4, 12: 8}
-_TYPE_FMT = {1: "B", 3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d"}
+               11: 4, 12: 8, 13: 4, 16: 8, 17: 8, 18: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d",
+             13: "I", 16: "Q", 17: "q", 18: "Q"}  # 13/16-18: IFD + BigTIFF
 
 
 # -------------------------------------------------------------- compression
@@ -301,20 +302,34 @@ def _jpeg_encode(arr_hwc: np.ndarray, quality: int) -> bytes:
     return bio.getvalue()
 
 
-def _read_ifd(buf: bytes, bo: str) -> Dict[int, tuple]:
-    (ifd_off,) = struct.unpack(bo + "I", buf[4:8])
-    (n_entries,) = struct.unpack(bo + "H", buf[ifd_off:ifd_off + 2])
+def _read_ifd(buf: bytes, bo: str, big: bool = False) -> Dict[int, tuple]:
+    """Parse the first IFD — classic TIFF (u32 offsets, 12-byte entries) or
+    BigTIFF (``big=True``: u64 offsets, 20-byte entries, LONG8 value
+    types), which is what >4 GB satellite mosaics ship as."""
+    if big:
+        (ifd_off,) = struct.unpack(bo + "Q", buf[8:16])
+        (n_entries,) = struct.unpack(bo + "Q", buf[ifd_off:ifd_off + 8])
+        base, entry_sz, cap, off_fmt = ifd_off + 8, 20, 8, "Q"
+    else:
+        (ifd_off,) = struct.unpack(bo + "I", buf[4:8])
+        (n_entries,) = struct.unpack(bo + "H", buf[ifd_off:ifd_off + 2])
+        base, entry_sz, cap, off_fmt = ifd_off + 2, 12, 4, "I"
     tags: Dict[int, tuple] = {}
     for i in range(n_entries):
-        e = ifd_off + 2 + 12 * i
-        tag, typ, count = struct.unpack(bo + "HHI", buf[e:e + 8])
+        e = base + entry_sz * i
+        if big:
+            tag, typ, count = struct.unpack(bo + "HHQ", buf[e:e + 12])
+            vpos = e + 12
+        else:
+            tag, typ, count = struct.unpack(bo + "HHI", buf[e:e + 8])
+            vpos = e + 8
         if typ not in _TYPE_FMT and typ != 7:
             continue
         size = _TYPE_SIZES[typ] * count
-        if size <= 4:
-            raw = buf[e + 8:e + 8 + size]
+        if size <= cap:
+            raw = buf[vpos:vpos + size]
         else:
-            (off,) = struct.unpack(bo + "I", buf[e + 8:e + 12])
+            (off,) = struct.unpack(bo + off_fmt, buf[vpos:vpos + cap])
             raw = buf[off:off + size]
         if typ == 7:  # UNDEFINED — raw bytes (JPEGTables)
             tags[tag] = raw
@@ -367,9 +382,12 @@ def read_geotiff(path: str, dn_scale: Optional[float] = None,
     else:
         raise ValueError(f"{path}: not a TIFF")
     (magic,) = struct.unpack(bo + "H", buf[2:4])
-    if magic != 42:
+    if magic not in (42, 43):
         raise ValueError(f"{path}: unsupported TIFF variant (magic={magic})")
-    tags = _read_ifd(buf, bo)
+    big = magic == 43
+    if big and struct.unpack(bo + "H", buf[4:6])[0] != 8:
+        raise ValueError(f"{path}: BigTIFF with non-8-byte offsets")
+    tags = _read_ifd(buf, bo, big)
 
     width = tags[_IMAGE_WIDTH][0]
     height = tags[_IMAGE_LENGTH][0]
@@ -492,14 +510,16 @@ def write_geotiff(path: str, img_chw: np.ndarray, *,
                   rows_per_strip: Optional[int] = None,
                   deflate: bool = False, predictor: bool = False,
                   compression: Optional[str] = None,
-                  jpeg_quality: int = 95) -> None:
+                  jpeg_quality: int = 95, bigtiff: bool = False) -> None:
     """Minimal little-endian GeoTIFF writer (chunky or planar striped,
     optional DEFLATE / LZW / PackBits / ZSTD with the horizontal-differencing
     predictor, or lossy new-style JPEG for uint8 data).  ``origin`` is the
     (x, y) of the raster's top-left corner; ``deflate=True`` is shorthand
     for ``compression='deflate'``.  JPEG strips are self-contained 4:4:4
     streams (no JPEGTables tag); chunky 3-channel images get photometric
-    YCbCr + a (1, 1) subsampling tag, everything else BlackIsZero."""
+    YCbCr + a (1, 1) subsampling tag, everything else BlackIsZero.
+    ``bigtiff=True`` emits the BigTIFF layout (magic 43, u64 offsets,
+    LONG8 strip offsets/counts) — required once a mosaic passes 4 GB."""
     if compression is None:
         compression = "deflate" if deflate else "none"
     comp_tag = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773,
@@ -569,6 +589,7 @@ def write_geotiff(path: str, img_chw: np.ndarray, *,
     def add(tag, typ, vals):
         entries.append((tag, typ, vals))
 
+    off_typ = 16 if bigtiff else 4  # LONG8 vs LONG strip offsets/counts
     add(_IMAGE_WIDTH, 4, [w])
     add(_IMAGE_LENGTH, 4, [h])
     add(_BITS_PER_SAMPLE, 3, [bps] * c)
@@ -580,10 +601,10 @@ def write_geotiff(path: str, img_chw: np.ndarray, *,
         add(_YCBCR_SUBSAMPLING, 3, [1, 1])  # 4:4:4 (subsampling=0 above)
     else:
         add(262, 3, [1])  # photometric: BlackIsZero
-    add(_STRIP_OFFSETS, 4, [0] * len(strips))  # patched below
+    add(_STRIP_OFFSETS, off_typ, [0] * len(strips))  # patched below
     add(_SAMPLES_PER_PIXEL, 3, [c])
     add(_ROWS_PER_STRIP, 4, [rps])
-    add(_STRIP_BYTE_COUNTS, 4, [len(s) for s in strips])
+    add(_STRIP_BYTE_COUNTS, off_typ, [len(s) for s in strips])
     add(_PLANAR_CONFIG, 3, [2 if planar else 1])
     add(_SAMPLE_FORMAT, 3, [sfmt] * c)
     add(_MODEL_PIXEL_SCALE, 12, pixel_scale_d.tolist())
@@ -591,17 +612,24 @@ def write_geotiff(path: str, img_chw: np.ndarray, *,
     add(_GEO_KEY_DIRECTORY, 3, geo_dir.tolist())
 
     entries.sort(key=lambda e: e[0])
-    header = struct.pack("<2sHI", b"II", 42, 8)
     n = len(entries)
-    ifd_size = 2 + 12 * n + 4
-    ext_off = 8 + ifd_size  # overflow area starts after IFD
+    if bigtiff:
+        header = struct.pack("<2sHHHQ", b"II", 43, 8, 0, 16)
+        cap, cnt_fmt, off_fmt = 8, "Q", "Q"  # inline capacity / count / off
+        ifd_size = 8 + 20 * n + 8
+    else:
+        header = struct.pack("<2sHI", b"II", 42, 8)
+        cap, cnt_fmt, off_fmt = 4, "H", "I"
+        ifd_size = 2 + 12 * n + 4
+    ext_off = len(header) + ifd_size  # overflow area starts after IFD
     ext = bytearray()
     fixed = []
     for tag, typ, vals in entries:
         fmt = _TYPE_FMT[typ]
         size = _TYPE_SIZES[typ] * len(vals)
-        if size <= 4:
-            raw = struct.pack("<" + str(len(vals)) + fmt, *vals).ljust(4, b"\0")
+        if size <= cap:
+            raw = struct.pack("<" + str(len(vals)) + fmt,
+                              *vals).ljust(cap, b"\0")
             fixed.append((tag, typ, len(vals), raw, None))
         else:
             fixed.append((tag, typ, len(vals), None, len(ext)))
@@ -613,23 +641,27 @@ def write_geotiff(path: str, img_chw: np.ndarray, *,
     for s in strips:
         strip_offs.append(acc)
         acc += len(s)
+    so_fmt = _TYPE_FMT[off_typ]
     out = bytearray(header)
-    out += struct.pack("<H", n)
+    out += struct.pack("<" + cnt_fmt, n)
     for tag, typ, cnt, raw, extpos in fixed:
         if tag == _STRIP_OFFSETS:
-            if cnt == 1:
-                raw = struct.pack("<I", strip_offs[0])
+            if _TYPE_SIZES[off_typ] * cnt <= cap:
+                raw = struct.pack("<" + str(cnt) + so_fmt,
+                                  *strip_offs).ljust(cap, b"\0")
                 extpos = None
             else:
                 raw = None
                 # rewrite the placeholder in ext
-                packed = struct.pack("<" + str(cnt) + "I", *strip_offs)
+                packed = struct.pack("<" + str(cnt) + so_fmt, *strip_offs)
                 ext[extpos:extpos + len(packed)] = packed
         if raw is not None:
-            out += struct.pack("<HHI", tag, typ, cnt) + raw
+            out += struct.pack("<HH" + ("Q" if bigtiff else "I"),
+                               tag, typ, cnt) + raw
         else:
-            out += struct.pack("<HHII", tag, typ, cnt, ext_off + extpos)
-    out += struct.pack("<I", 0)  # no next IFD
+            out += struct.pack("<HH" + ("QQ" if bigtiff else "II"),
+                               tag, typ, cnt, ext_off + extpos)
+    out += struct.pack("<" + off_fmt, 0)  # no next IFD
     out += ext
     for s in strips:
         out += s
@@ -703,30 +735,43 @@ def read_geotiff_meta(path: str) -> dict:
     per-path pass the native input pipeline uses for coords while the C++
     workers decode pixels."""
     with open(path, "rb") as f:
-        head = f.read(8)
+        head = f.read(16)
         if head[:2] == b"II":
             bo = "<"
         elif head[:2] == b"MM":
             bo = ">"
         else:
             raise ValueError(f"{path}: not a TIFF")
-        (ifd_off,) = struct.unpack(bo + "I", head[4:8])
-        f.seek(ifd_off)
-        (n_entries,) = struct.unpack(bo + "H", f.read(2))
-        entries = f.read(12 * n_entries)
+        big = struct.unpack(bo + "H", head[2:4])[0] == 43
+        if big:
+            (ifd_off,) = struct.unpack(bo + "Q", head[8:16])
+            f.seek(ifd_off)
+            (n_entries,) = struct.unpack(bo + "Q", f.read(8))
+            entry_sz, cap, off_fmt = 20, 8, "Q"
+        else:
+            (ifd_off,) = struct.unpack(bo + "I", head[4:8])
+            f.seek(ifd_off)
+            (n_entries,) = struct.unpack(bo + "H", f.read(2))
+            entry_sz, cap, off_fmt = 12, 4, "I"
+        entries = f.read(entry_sz * n_entries)
         tags: Dict[int, tuple] = {}
         deferred = []
         for i in range(n_entries):
-            e = entries[12 * i:12 * i + 12]
-            tag, typ, count = struct.unpack(bo + "HHI", e[:8])
+            e = entries[entry_sz * i:entry_sz * (i + 1)]
+            if big:
+                tag, typ, count = struct.unpack(bo + "HHQ", e[:12])
+                val = e[12:]
+            else:
+                tag, typ, count = struct.unpack(bo + "HHI", e[:8])
+                val = e[8:]
             if typ not in _TYPE_FMT or typ == 5:
                 continue
             size = _TYPE_SIZES[typ] * count
-            if size <= 4:
+            if size <= cap:
                 tags[tag] = struct.unpack(bo + str(count) + _TYPE_FMT[typ],
-                                          e[8:8 + size])
+                                          val[:size])
             else:
-                (off,) = struct.unpack(bo + "I", e[8:12])
+                (off,) = struct.unpack(bo + off_fmt, val[:cap])
                 deferred.append((tag, typ, count, size, off))
         for tag, typ, count, size, off in deferred:
             f.seek(off)

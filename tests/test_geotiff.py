@@ -421,6 +421,52 @@ def test_zstd_unknown_content_size_falls_back():
     assert _zstd_decode(stream_frame, len(payload)) == payload
 
 
+@pytest.mark.parametrize("compression,predictor,planar", [
+    ("none", False, False), ("deflate", True, False), ("zstd", True, True),
+])
+def test_bigtiff_roundtrip(tmp_path, compression, predictor, planar):
+    """BigTIFF (magic 43, u64 offsets, 20-byte IFD entries, LONG8 strip
+    offsets/counts) — what >4 GB satellite mosaics ship as.  Full reader,
+    header-only metadata reader, and compression/predictor all compose."""
+    from nirgan_tpu.data.geotiff import read_geotiff_meta
+
+    rng = np.random.default_rng(16)
+    img = rng.integers(0, 10000, (4, 33, 29)).astype(np.uint16)
+    p = str(tmp_path / "bt.tif")
+    write_geotiff(p, img, epsg=32632, origin=(699960.0, 5900040.0),
+                  bigtiff=True, compression=compression, predictor=predictor,
+                  planar=planar, rows_per_strip=9)
+    with open(p, "rb") as f:
+        assert f.read(4) == b"II+\x00"  # magic 43
+    got, meta = read_geotiff(p)
+    np.testing.assert_array_equal(got, img.astype(np.float32))
+    assert meta["epsg"] == 32632
+    assert meta["tiepoint"][3:5] == (699960.0, 5900040.0)
+    m2 = read_geotiff_meta(p)
+    assert m2["epsg"] == 32632 and (m2["width"], m2["height"]) == (29, 33)
+
+
+def test_bigtiff_cross_check_against_pillow(tmp_path):
+    """PIL-written BigTIFFs decode here; our BigTIFFs decode in PIL."""
+    PIL = pytest.importorskip("PIL.Image")
+    rng = np.random.default_rng(17)
+    a = (rng.random((40, 56, 3)) * 255).astype(np.uint8)
+
+    theirs = str(tmp_path / "theirs.tif")
+    try:
+        PIL.fromarray(a).save(theirs, big_tiff=True)
+    except TypeError:
+        pytest.skip("Pillow without BigTIFF write support")
+    ours_read, _ = read_geotiff(theirs)
+    np.testing.assert_array_equal(ours_read,
+                                  a.transpose(2, 0, 1).astype(np.float32))
+
+    # ours→PIL: single band (PIL has no mode for 3-sample BlackIsZero)
+    ours = str(tmp_path / "ours.tif")
+    write_geotiff(ours, a[None, :, :, 0], bigtiff=True, compression="deflate")
+    np.testing.assert_array_equal(np.asarray(PIL.open(ours)), a[:, :, 0])
+
+
 def test_srpaired_geotiff_dn_scaling(tmp_path):
     """SRPairedDataset must scale uint16-DN GeoTIFFs to reflectance
     (read_geotiff returns float32, so the caller has to pass dn_scale)."""

@@ -242,3 +242,39 @@ def test_native_reader_decodes_jpeg_geotiff(tmp_path):
     for i, p in enumerate(paths):
         ref, _ = read_geotiff(p, dn_scale=10000.0)
         np.testing.assert_allclose(got[i], ref, rtol=0, atol=1e-6)
+
+
+def test_native_reader_decodes_bigtiff(tmp_path):
+    """BigTIFF (magic 43, u64 offsets/counts, LONG8 strip tags) through the
+    C++ path matches the Python reader, incl. a Pillow-written file."""
+    from nirgan_tpu.data import native_loader
+    from nirgan_tpu.data.geotiff import read_geotiff, write_geotiff
+
+    if not native_loader.available():
+        pytest.skip("no C++ toolchain")
+    rng = np.random.default_rng(51)
+    paths = []
+    img = rng.integers(0, 10000, (4, 24, 24)).astype(np.uint16)
+    for i, (compression, planar) in enumerate(
+            [("none", False), ("zstd", True), ("deflate", False)]):
+        p = str(tmp_path / f"b{i}.tif")
+        write_geotiff(p, img, epsg=32632, bigtiff=True, planar=planar,
+                      compression=compression, rows_per_strip=7,
+                      predictor=compression != "none")
+        paths.append(p)
+    try:
+        from PIL import Image
+        arr = (rng.random((24, 24, 3)) * 255).astype(np.uint8)
+        p = str(tmp_path / "pil_big.tif")
+        Image.fromarray(arr).save(p, big_tiff=True)
+        paths.append(p)
+    except (ImportError, TypeError):
+        pass  # old Pillow: skip this leg only
+
+    reader = native_loader.NativeTileReader(paths, crop=24, n_threads=2)
+    got = {idx: tile for idx, tile in reader}
+    reader.close()
+    assert sorted(got) == list(range(len(paths)))
+    for i, p in enumerate(paths):
+        ref, _ = read_geotiff(p, dn_scale=10000.0)
+        np.testing.assert_allclose(got[i], ref, rtol=0, atol=1e-6)
