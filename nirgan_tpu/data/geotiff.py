@@ -38,7 +38,7 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 
 __all__ = ["read_geotiff", "read_geotiff_meta", "write_geotiff",
-           "centroid_lonlat", "utm_to_lonlat"]
+           "centroid_lonlat", "pixel_lonlat", "utm_to_lonlat"]
 
 # TIFF tag ids
 _IMAGE_WIDTH = 256
@@ -216,9 +216,19 @@ def _zstd():
     if _zstd_cached is None:
         import ctypes
         import ctypes.util
+        import os
 
         name = ctypes.util.find_library("zstd") or "libzstd.so.1"
-        lib = ctypes.CDLL(name)
+        # RTLD_DEEPBIND: several wheels in this image (tensorflow — pulled in
+        # by the TensorBoard logger — and Pillow) bundle their own libzstd
+        # builds with default symbol visibility.  Without DEEPBIND the system
+        # libzstd's *internal* cross-calls go through its PLT and resolve
+        # against whichever copy entered the global scope first, mixing CCtx
+        # struct layouts across zstd versions (observed: streaming
+        # compression dying with "sequence producer failed" after importing
+        # tensorflow).  DEEPBIND pins the library to its own symbols.
+        lib = ctypes.CDLL(name, mode=getattr(os, "RTLD_DEEPBIND", 0)
+                          | ctypes.RTLD_LOCAL)
         lib.ZSTD_getFrameContentSize.restype = ctypes.c_uint64
         lib.ZSTD_getFrameContentSize.argtypes = [ctypes.c_char_p,
                                                  ctypes.c_size_t]
@@ -712,22 +722,30 @@ def utm_to_lonlat(epsg: int, x, y):
     return np.degrees(lon), np.degrees(lat)
 
 
-def centroid_lonlat(meta: dict) -> Optional[np.ndarray]:
-    """Raster-centroid (lon, lat) from :func:`read_geotiff` metadata —
-    mirrors ``src.xy(h//2, w//2)`` + warp at
-    ``/root/reference/data/SR_dataset_RGB.py:31-37`` (pixel-center
-    convention).  Returns None when the raster carries no georeferencing."""
+def pixel_lonlat(meta: dict, row: float, col: float) -> Optional[np.ndarray]:
+    """(row, col) pixel-center → (lon, lat) from :func:`read_geotiff`
+    metadata (pixel-center convention, same as ``src.xy`` in rasterio).
+    Returns None when the raster carries no georeferencing.  Used per tile
+    window by the scene-synthesis pipeline (inference/scene.py)."""
     if "tiepoint" not in meta or "pixel_scale" not in meta:
         return None
     sx, sy = meta["pixel_scale"]
     _, _, _, ox, oy, _ = meta["tiepoint"]
-    cx = ox + (meta["width"] // 2 + 0.5) * sx
-    cy = oy - (meta["height"] // 2 + 0.5) * sy
+    cx = ox + (col + 0.5) * sx
+    cy = oy - (row + 0.5) * sy
     epsg = meta.get("epsg", 4326)
     if epsg == 4326:
         return np.asarray([cx, cy], np.float32)
     lon, lat = utm_to_lonlat(epsg, cx, cy)
     return np.asarray([float(lon), float(lat)], np.float32)
+
+
+def centroid_lonlat(meta: dict) -> Optional[np.ndarray]:
+    """Raster-centroid (lon, lat) from :func:`read_geotiff` metadata —
+    mirrors ``src.xy(h//2, w//2)`` + warp at
+    ``/root/reference/data/SR_dataset_RGB.py:31-37`` (pixel-center
+    convention).  Returns None when the raster carries no georeferencing."""
+    return pixel_lonlat(meta, meta["height"] // 2, meta["width"] // 2)
 
 
 def read_geotiff_meta(path: str) -> dict:

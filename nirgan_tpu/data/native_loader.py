@@ -43,7 +43,12 @@ def _load_lib():
                      "-o", _LIB_PATH, _SRC, "-lpthread", "-lz", "-lzstd",
                      "-ljpeg"],
                     check=True, capture_output=True)
-            lib = ctypes.CDLL(_LIB_PATH)
+            # DEEPBIND so tileio's libzstd/libjpeg/zlib dependencies resolve
+            # their own internal symbols even when tensorflow/Pillow wheels
+            # have loaded incompatible bundled copies into the global scope
+            # (see geotiff._zstd for the observed failure mode)
+            lib = ctypes.CDLL(_LIB_PATH, mode=getattr(os, "RTLD_DEEPBIND", 0)
+                              | ctypes.RTLD_LOCAL)
             lib.tileio_create.restype = ctypes.c_void_p
             lib.tileio_create.argtypes = [
                 ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
