@@ -1,0 +1,103 @@
+"""Whole-scene RGB→NIR synthesis CLI: one GeoTIFF in, one GeoTIFF out.
+
+The reference serves pre-tiled datasets only (``create_synthetic_dataset.py``
+— see that CLI's rebuild in this repo); this entry point covers the missing
+scene workflow: read an arbitrary-size georeferenced RGB scene, run seamless
+sliding-window inference (``nirgan_tpu/inference/scene.py`` — plateau-cosine
+blending, per-window SatCLIP coordinates from the scene's georeferencing),
+and write the synthetic NIR band as a GeoTIFF with the input's grid.
+
+    python synthesize_scene.py input_rgb.tif output_nir.tif \
+        --config configs/config_px2px.yaml --ckpt logs/run/best \
+        [--tile 512 --overlap 32 --batch-size 8 --quant int8 --mesh]
+"""
+
+import argparse
+import os
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("input", help="georeferenced RGB GeoTIFF (3+ bands; "
+                                 "bands 1-3 are used)")
+    p.add_argument("output", help="output NIR GeoTIFF path")
+    p.add_argument("--config", default="configs/config_px2px.yaml")
+    p.add_argument("--ckpt", default=None,
+                   help="torch reference .ckpt or orbax checkpoint dir")
+    p.add_argument("--tile", type=int, default=512)
+    p.add_argument("--overlap", type=int, default=32)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--quant", choices=["none", "int8"], default=None,
+                   help="serving quantisation override (tpu.serving_quant)")
+    p.add_argument("--mesh", action="store_true",
+                   help="shard window batches over all local chips")
+    p.add_argument("--compression", default="deflate",
+                   choices=["none", "deflate", "lzw", "packbits", "zstd"])
+    args = p.parse_args(argv)
+
+    from nirgan_tpu.runtime import setup_runtime
+
+    setup_runtime()
+
+    from nirgan_tpu.config import load_config
+    from nirgan_tpu.data.geotiff import read_geotiff, write_geotiff
+    from nirgan_tpu.inference import synthesize_scene
+    from nirgan_tpu.tasks import Px2PxTask
+    from nirgan_tpu.train.checkpoint import merge_params
+
+    config = load_config(args.config)
+    if args.quant is not None:
+        config["tpu"] = config.get("tpu") or {}
+        config.tpu.serving_quant = args.quant
+    task = Px2PxTask(config)
+    state = task.init_state(seed=0, image_size=64)
+    params_g = state.params_g
+    if args.ckpt and os.path.exists(args.ckpt):
+        if os.path.isdir(args.ckpt):
+            import orbax.checkpoint as ocp
+
+            restored = ocp.StandardCheckpointer().restore(os.path.abspath(args.ckpt))
+            params_g = merge_params(params_g, restored["params_g"])
+        else:
+            loaded = task.load_torch_weights(args.ckpt)
+            params_g = merge_params(params_g, loaded.get("params_g", {}))
+        print("Loaded weights from:", args.ckpt)
+    else:
+        print(f"WARNING: checkpoint {args.ckpt!r} not found — running with "
+              "random weights (smoke mode)")
+    task.bind(params_g)
+
+    img, meta = read_geotiff(args.input)
+    rgb = img[:3]  # uint16 DN stays integer through the transfer
+    print(f"Scene {meta['width']}×{meta['height']} "
+          f"(EPSG:{meta.get('epsg', '?')}), tile={args.tile} "
+          f"overlap={args.overlap}")
+
+    mesh = None
+    if args.mesh:
+        import jax
+
+        from nirgan_tpu.parallel import create_mesh
+
+        mesh = create_mesh(("data",), devices=jax.local_devices())
+
+    nir = synthesize_scene(task, rgb, tile=args.tile, overlap=args.overlap,
+                           batch_size=args.batch_size, meta=meta, mesh=mesh,
+                           progress=True)
+
+    kw = {}
+    if "pixel_scale" in meta and "tiepoint" in meta:
+        sx, sy = meta["pixel_scale"][:2]
+        _, _, _, ox, oy, _ = meta["tiepoint"]
+        kw = dict(pixel_scale=(sx, sy), origin=(ox, oy),
+                  epsg=meta.get("epsg", 4326))
+    big = nir.astype(np.float32).nbytes > (1 << 32) - (1 << 20)
+    write_geotiff(args.output, nir.astype(np.float32),
+                  compression=args.compression, bigtiff=big, **kw)
+    print("Wrote", args.output)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,183 @@
+"""Whole-scene sliding-window synthesis (nirgan_tpu/inference/scene.py).
+
+The reference has no scene-level API (``create_synthetic_dataset.py`` loops
+pre-tiled datasets); these tests pin the tiling/blending machinery exactly
+(identity-generator equality), the per-window SatCLIP coordinate path, mesh
+sharding, and the GeoTIFF-in → GeoTIFF-out CLI."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nirgan_tpu.config import load_config
+from nirgan_tpu.inference.scene import (plateau_weight, synthesize_scene,
+                                        tile_origins)
+from nirgan_tpu.tasks import Px2PxTask
+
+
+def _task(satclip=False, ngf=8):
+    cfg = load_config("configs/config_px2px_SatCLIP.yaml" if satclip
+                      else "configs/config_px2px.yaml")
+    cfg.base_configs.ngf = ngf
+    cfg.base_configs.ndf = 8
+    cfg.Data.padding_amount = 2
+    cfg.tpu.compute_dtype = "float32"
+    task = Px2PxTask(cfg)
+    task.bind(task.init_state(seed=0, image_size=32))
+    return task
+
+
+def _identity(task):
+    """Replace the generator with a per-pixel, shift-invariant map: tiled +
+    blended output must then equal the map of the whole scene exactly."""
+    task.g_apply = lambda params, x, embeds=None, **kw: (
+        x.mean(axis=-1, keepdims=True) * 0.5 - 0.1)
+    return task
+
+
+# ------------------------------------------------------------ pure tiling
+
+@pytest.mark.parametrize("length,tile,overlap", [
+    (512, 128, 16), (1000, 256, 32), (128, 128, 16), (130, 128, 8),
+])
+def test_plateau_coverage(length, tile, overlap):
+    """Every padded-interior pixel lies in ≥1 window plateau: accumulated
+    weight ≥ 1 over the original region after padding by `overlap`."""
+    stride = tile - 2 * overlap
+    padded = length + 2 * overlap
+    origins = tile_origins(padded, tile, stride)
+    w = plateau_weight(tile, overlap)
+    den = np.zeros(padded, np.float64)
+    for o in origins:
+        den[o:o + tile] += w
+    interior = den[overlap:overlap + length]
+    assert interior.min() >= 1.0 - 1e-6
+    assert (den > 0).all()
+    # windows stay in range and flush to the end
+    assert origins[0] == 0 and origins[-1] == padded - tile
+    assert all(0 <= o <= padded - tile for o in origins)
+
+
+def test_plateau_weight_shape():
+    w = plateau_weight(64, 16)
+    assert w.shape == (64,) and (w > 0).all() and w.max() == 1.0
+    assert np.allclose(w, w[::-1])  # symmetric
+    assert (plateau_weight(64, 0) == 1).all()
+
+
+# ------------------------------------------------------- blending equality
+
+def test_scene_identity_blend_exact():
+    """With a per-pixel generator, seams must vanish identically: tiled +
+    plateau-blended output == the map applied to the whole scene."""
+    task = _identity(_task())
+    rng = np.random.default_rng(0)
+    scene = rng.integers(0, 10000, size=(3, 96, 130)).astype(np.uint16)
+    out = synthesize_scene(task, scene, tile=64, overlap=16, batch_size=4)
+    expect = (scene.astype(np.float32) / 10000.0).mean(0) * 0.5 - 0.1
+    assert out.shape == (1, 96, 130)
+    np.testing.assert_allclose(out[0], expect, atol=2e-6)
+
+
+def test_scene_smaller_than_tile():
+    task = _identity(_task())
+    scene = np.random.default_rng(1).random((3, 40, 56)).astype(np.float32)
+    out = synthesize_scene(task, scene, tile=64, overlap=8, batch_size=2)
+    expect = scene.mean(0) * 0.5 - 0.1
+    assert out.shape == (1, 40, 56)
+    np.testing.assert_allclose(out[0], expect, atol=2e-6)
+
+
+def test_scene_mesh_matches_single():
+    from nirgan_tpu.parallel import create_mesh
+
+    task = _identity(_task())
+    scene = np.random.default_rng(2).random((3, 96, 96)).astype(np.float32)
+    ref = synthesize_scene(task, scene, tile=64, overlap=16, batch_size=4)
+    mesh = create_mesh(("data",))
+    out = synthesize_scene(task, scene, tile=64, overlap=16, batch_size=4,
+                           mesh=mesh)
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_scene_rejects_bad_args():
+    task = _task()
+    scene = np.zeros((3, 64, 64), np.float32)
+    with pytest.raises(ValueError):
+        synthesize_scene(task, scene, tile=64, overlap=32)
+    with pytest.raises(ValueError):
+        synthesize_scene(task, np.zeros((4, 8, 8), np.float32))
+
+
+# --------------------------------------------------------- SatCLIP routes
+
+def _meta(h, w, epsg=4326, scale=0.001):
+    return {"width": w, "height": h, "pixel_scale": (scale, scale),
+            "tiepoint": (0.0, 0.0, 0.0, 10.0, 50.0, 0.0), "epsg": epsg}
+
+
+def test_scene_satclip_per_window_coords():
+    """Each window is conditioned on its own centroid, not the scene's."""
+    task = _task(satclip=True)
+    seen = []
+    real_predict = task.satclip_model.predict
+
+    def spy(coords):
+        seen.append(np.asarray(coords))
+        return real_predict(coords)
+
+    task.satclip_model.predict = spy
+    scene = np.random.default_rng(3).integers(
+        0, 10000, size=(3, 96, 96)).astype(np.uint16)
+    out = synthesize_scene(task, scene, tile=64, overlap=16, batch_size=16,
+                           meta=_meta(96, 96))
+    assert out.shape == (1, 96, 96) and np.isfinite(out).all()
+    coords = np.concatenate(seen)      # (n_windows, 2) lon/lat
+    assert len(np.unique(coords, axis=0)) > 1   # per-window, not per-scene
+    # all centroids inside the scene's geographic footprint
+    assert (coords[:, 0] >= 10.0).all() and (coords[:, 0] <= 10.0 + 0.096).all()
+    assert (coords[:, 1] <= 50.0).all() and (coords[:, 1] >= 50.0 - 0.096).all()
+
+
+def test_scene_satclip_requires_meta():
+    task = _task(satclip=True)
+    with pytest.raises(ValueError, match="coordinates"):
+        synthesize_scene(task, np.zeros((3, 96, 96), np.float32),
+                         tile=64, overlap=16)
+
+
+# ----------------------------------------------------------------- CLI
+
+def test_scene_cli_geotiff_roundtrip(tmp_path):
+    from nirgan_tpu.config import save_config
+    from nirgan_tpu.data.geotiff import read_geotiff, write_geotiff
+
+    cfg = load_config("configs/config_px2px.yaml")
+    cfg.base_configs.ngf = 8
+    cfg.base_configs.ndf = 8
+    cfg_path = tmp_path / "cfg.yaml"
+    save_config(cfg, str(cfg_path))
+
+    rng = np.random.default_rng(4)
+    scene = rng.integers(0, 10000, size=(3, 80, 96)).astype(np.uint16)
+    src = tmp_path / "rgb.tif"
+    dst = tmp_path / "nir.tif"
+    write_geotiff(str(src), scene, pixel_scale=(10.0, 10.0),
+                  origin=(500000.0, 4649776.0), epsg=32633)
+
+    import synthesize_scene as cli
+
+    cli.main([str(src), str(dst), "--config", str(cfg_path),
+              "--tile", "64", "--overlap", "8", "--batch-size", "4"])
+
+    nir, meta = read_geotiff(str(dst))
+    assert nir.shape == (1, 80, 96) and nir.dtype == np.float32
+    assert np.isfinite(nir).all()
+    # georeferencing carried over from the input grid
+    assert meta["epsg"] == 32633
+    assert tuple(meta["pixel_scale"][:2]) == (10.0, 10.0)
+    assert meta["tiepoint"][3:5] == (500000.0, 4649776.0)
