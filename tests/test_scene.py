@@ -150,6 +150,32 @@ def test_scene_satclip_requires_meta():
                          tile=64, overlap=16)
 
 
+def test_scene_int8_composes():
+    """The scene path calibrates and serves the int8 trunk; output stays
+    within the serving PSNR guard of the float path (ops/int8_trunk.py)."""
+    cfg = load_config("configs/config_px2px.yaml")
+    cfg.base_configs.ngf = 8
+    cfg.base_configs.ndf = 8
+    cfg.Data.padding_amount = 2
+    cfg.tpu.compute_dtype = "float32"
+    scene = np.random.default_rng(5).integers(
+        0, 10000, size=(3, 96, 96)).astype(np.uint16)
+
+    outs = {}
+    for quant in ("none", "int8"):
+        cfg.tpu.serving_quant = quant
+        task = Px2PxTask(cfg)
+        task.bind(task.init_state(seed=0, image_size=32))
+        if quant == "int8":
+            assert task.wants_int8_serving()
+        outs[quant] = synthesize_scene(task, scene, tile=64, overlap=16,
+                                       batch_size=4)
+    a, b = outs["int8"], outs["none"]
+    mse = float(np.mean((a - b) ** 2))
+    psnr = 10 * np.log10(4.0 / max(mse, 1e-12))  # range 2 ([-1, 1] output)
+    assert psnr > 36.0, psnr
+
+
 # ----------------------------------------------------------------- CLI
 
 def test_scene_cli_geotiff_roundtrip(tmp_path):
