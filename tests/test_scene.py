@@ -104,6 +104,45 @@ def test_scene_mesh_matches_single():
     np.testing.assert_allclose(out, ref, atol=1e-6)
 
 
+def test_scene_blend_attenuates_window_disagreement():
+    """The production seam mechanism is per-window normalisation (instance
+    norm): windows see different statistics and disagree at their borders.
+    Model it exactly — a stub generator that standardises per window — on a
+    curved surface (so per-window std genuinely differs), and require the
+    blended output's jump at window edges to be far below the naive seam
+    step.  Pins the claim measured in benchmarks/scene_seam_ab.py."""
+    task = _task()
+
+    def per_window_standardise(params, x, embeds=None, **kw):
+        m = x.mean(axis=-1, keepdims=True)
+        mu = m.mean(axis=(1, 2), keepdims=True)
+        sd = m.std(axis=(1, 2), keepdims=True) + 1e-6
+        return (m - mu) / sd
+
+    task.g_apply = per_window_standardise
+    yy, xx = np.meshgrid(np.linspace(0, 1, 128), np.linspace(0, 1, 128),
+                         indexing="ij")
+    scene = np.broadcast_to(((yy + xx) / 2) ** 2, (3, 128, 128)).astype(
+        np.float32).copy()
+
+    naive = synthesize_scene(task, scene, tile=64, overlap=0, batch_size=4)[0]
+    blend = synthesize_scene(task, scene, tile=64, overlap=16, batch_size=4)[0]
+
+    def jump(img, cols):
+        gx = np.abs(np.diff(img, axis=1))
+        gy = np.abs(np.diff(img, axis=0))
+        return max(float(gx[:, c].mean()) for c in cols) if cols else 0.0, \
+            max(float(gy[c, :].mean()) for c in cols) if cols else 0.0
+
+    n_jump = max(jump(naive, [63]))          # the single abutment line
+    # blended window entry/exit edges: origins k·32 span original
+    # [k·32−16, k·32−16+64) → edges at 32k±16 within (0, 128)
+    edges = [e - 1 for e in (16, 48, 80, 112) if 0 < e < 128]
+    b_jump = max(jump(blend, edges))
+    assert n_jump > 5e-3, n_jump              # the stub does produce seams
+    assert b_jump < 0.2 * n_jump, (n_jump, b_jump)
+
+
 def test_scene_rejects_bad_args():
     task = _task()
     scene = np.zeros((3, 64, 64), np.float32)
