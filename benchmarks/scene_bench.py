@@ -1,0 +1,93 @@
+"""Steady-state throughput of the whole-scene serving path
+(nirgan_tpu/inference/scene.py) on the real chip.
+
+Two numbers per mode (bf16 / int8 trunk):
+  * end-to-end windows/s over a 4096² uint16 scene (100 × 512² windows at
+    overlap 32, batch 8) — includes host window-cutting, the host→device
+    transfer (12.6 MB/batch; through the axon tunnel this dominates), and
+    host blending overlapped with compute;
+  * compute-only windows/s — the same fused program re-dispatched on one
+    resident device batch, chained via a scalar checksum (the tunnel-safe
+    timing pattern, see bench.py), which is what a production PCIe host
+    would see from the device side.
+
+Run on the TPU: python benchmarks/scene_bench.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    from nirgan_tpu.runtime import setup_runtime
+
+    setup_runtime()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nirgan_tpu.config import load_config
+    from nirgan_tpu.inference.scene import synthesize_scene
+    from nirgan_tpu.tasks import Px2PxTask
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rng = np.random.default_rng(0)
+    scene = rng.integers(0, 10000, size=(3, 4096, 4096)).astype(np.uint16)
+    TILE, OV, BS = 512, 32, 8
+
+    for quant in ("none", "int8"):
+        cfg = load_config(os.path.join(root, "configs", "config_px2px.yaml"))
+        cfg.tpu.serving_quant = quant
+        task = Px2PxTask(cfg)
+        task.bind(task.init_state(seed=0, image_size=64))
+
+        # warm the compile (+ int8 calibration) outside the window
+        synthesize_scene(task, scene[:, :1024, :1024], tile=TILE, overlap=OV,
+                         batch_size=BS)
+
+        t0 = time.perf_counter()
+        out = synthesize_scene(task, scene, tile=TILE, overlap=OV,
+                               batch_size=BS)
+        dt = time.perf_counter() - t0
+        from nirgan_tpu.inference.scene import tile_origins
+        n_side = len(tile_origins(4096 + 2 * OV, TILE, TILE - 2 * OV))
+        n_win = n_side * n_side
+        e2e = n_win / dt
+        assert np.isfinite(out).all()
+
+        # compute-only: one resident batch, chained through a checksum
+        tiles = jnp.asarray(
+            rng.integers(0, 10000, size=(BS, TILE, TILE, 3)).astype(np.uint16))
+
+        def step(params, stats, x, tq, bias):
+            y = task.g_apply(params,
+                             task._dn_to_reflectance(x, task.compute_dtype)
+                             + bias, None, train=False, stats=stats,
+                             trunk_q=tq)
+            return y.astype(jnp.float32).mean()
+
+        fn = jax.jit(step)
+        s = fn(task._params_g, task._stats_g, tiles, task._trunk_q,
+               jnp.float32(0))
+        float(s)  # compile + settle
+        N = 12
+        t0 = time.perf_counter()
+        for _ in range(N):
+            # chain: next dispatch depends on the previous result so the
+            # steady-state rate is honest through the tunnel
+            s = fn(task._params_g, task._stats_g, tiles, task._trunk_q,
+                   s * 1e-9)
+        cs = float(s)
+        dt_c = time.perf_counter() - t0
+        comp = N * BS / dt_c
+        print(f"quant={quant}: end-to-end {e2e:6.1f} win/s "
+              f"({n_win} x {TILE}² windows, {dt:5.1f}s) | "
+              f"compute-only {comp:6.1f} win/s (checksum {cs:.3e})",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
