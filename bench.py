@@ -45,7 +45,10 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(REPO, "benchmarks", "baseline_torch_cpu.json")
 LAST_GOOD = os.path.join(REPO, "benchmarks", "last_good_bench.json")
 V5E_BF16_PEAK = 197e12  # TFLOP/s per chip
-PROBE_TIMEOUT_S = int(os.environ.get("NIRGAN_BENCH_PROBE_TIMEOUT", 300))
+# a LIVE tunnel has been measured at 127 s for the probe child (init +
+# trivial-op round trip, 2026-08-19) — 300 s produced a false STALE on a
+# slow day; a dead tunnel costs one bounded 10-min wait per round instead
+PROBE_TIMEOUT_S = int(os.environ.get("NIRGAN_BENCH_PROBE_TIMEOUT", 600))
 MEASURE_TIMEOUT_S = int(os.environ.get("NIRGAN_BENCH_MEASURE_TIMEOUT", 2400))
 
 
@@ -180,6 +183,9 @@ def _measure_main():
 
 def _probe_main():
     """Child mode: init the backend and push one op through it."""
+    from nirgan_tpu.runtime import setup_runtime
+
+    setup_runtime()  # persistent compile cache — repeat probes start warm
     import jax
     import jax.numpy as jnp
 
