@@ -33,6 +33,13 @@ def main(argv=None):
                    help="serving quantisation override (tpu.serving_quant)")
     p.add_argument("--mesh", action="store_true",
                    help="shard window batches over all local chips")
+    p.add_argument("--match-histogram", default=None, metavar="REF_TIF",
+                   help="match the synthesized NIR histogram to this "
+                        "reference GeoTIFF's first band (the reference "
+                        "pipeline's skimage match, create_synthetic_dataset"
+                        ".py:34-47, applied ONCE scene-level after blending "
+                        "— per-window matching would reintroduce seams); "
+                        "integer references are DN-scaled like inputs")
     p.add_argument("--compression", default="deflate",
                    choices=["none", "deflate", "lzw", "packbits", "zstd"])
     args = p.parse_args(argv)
@@ -69,8 +76,12 @@ def main(argv=None):
               "random weights (smoke mode)")
     task.bind(params_g)
 
-    img, meta = read_geotiff(args.input)
-    rgb = img[:3]  # uint16 DN stays integer through the transfer
+    # native_dtype: uint16 DN stays integer through the host→device transfer
+    # (half the tunnel bytes) and is scaled on device; the default float32
+    # read returns UNSCALED DN floats, which the task would wrongly treat as
+    # reflectance
+    img, meta = read_geotiff(args.input, native_dtype=True)
+    rgb = img[:3]
     print(f"Scene {meta['width']}×{meta['height']} "
           f"(EPSG:{meta.get('epsg', '?')}), tile={args.tile} "
           f"overlap={args.overlap}")
@@ -86,6 +97,20 @@ def main(argv=None):
     nir = synthesize_scene(task, rgb, tile=args.tile, overlap=args.overlap,
                            batch_size=args.batch_size, meta=meta, mesh=mesh,
                            progress=True)
+
+    if args.match_histogram:
+        import jax.numpy as jnp
+
+        from nirgan_tpu.inference import histogram_match
+
+        ref_img, _ = read_geotiff(args.match_histogram, native_dtype=True)
+        ref_b = ref_img[:1].astype(np.float32)
+        if np.issubdtype(ref_img.dtype, np.integer):
+            ref_b = ref_b / float(task.dn_scale)
+        nir = np.asarray(histogram_match(
+            jnp.asarray(nir[..., None]), jnp.asarray(ref_b[..., None])))[..., 0]
+        print(f"Histogram-matched to {args.match_histogram} "
+              f"(out range [{nir.min():.4f}, {nir.max():.4f}])")
 
     kw = {}
     if "pixel_scale" in meta and "tiepoint" in meta:

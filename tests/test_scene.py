@@ -246,3 +246,47 @@ def test_scene_cli_geotiff_roundtrip(tmp_path):
     assert meta["epsg"] == 32633
     assert tuple(meta["pixel_scale"][:2]) == (10.0, 10.0)
     assert meta["tiepoint"][3:5] == (500000.0, 4649776.0)
+    # the CLI must feed DN-SCALED reflectance to the generator: output equals
+    # the library path given the raw uint16 scene (scaled on device) — a
+    # default float32 read would silently pass unscaled DN as reflectance
+    task = Px2PxTask(load_config(str(cfg_path)))
+    task.bind(task.init_state(seed=0, image_size=64))
+    direct = synthesize_scene(task, scene, tile=64, overlap=8, batch_size=4)
+    np.testing.assert_allclose(nir, direct, atol=1e-5)
+
+
+def test_scene_cli_match_histogram(tmp_path):
+    """--match-histogram REF.tif pulls the output's distribution onto the
+    reference band's (the reference pipeline's skimage match, applied once
+    scene-level); integer references are DN-scaled like inputs."""
+    from nirgan_tpu.config import save_config
+    from nirgan_tpu.data.geotiff import read_geotiff, write_geotiff
+
+    cfg = load_config("configs/config_px2px.yaml")
+    cfg.base_configs.ngf = 8
+    cfg.base_configs.ndf = 8
+    cfg_path = tmp_path / "cfg.yaml"
+    save_config(cfg, str(cfg_path))
+
+    rng = np.random.default_rng(6)
+    scene = rng.integers(0, 10000, size=(3, 80, 96)).astype(np.uint16)
+    # reference NIR: a shifted/squeezed DN distribution, different raster size
+    ref = (2000 + rng.integers(0, 3000, size=(1, 50, 60))).astype(np.uint16)
+    src, refp, dst = tmp_path / "rgb.tif", tmp_path / "ref.tif", tmp_path / "nir.tif"
+    write_geotiff(str(src), scene, pixel_scale=(10.0, 10.0),
+                  origin=(500000.0, 4649776.0), epsg=32633)
+    write_geotiff(str(refp), ref, pixel_scale=(10.0, 10.0),
+                  origin=(500000.0, 4649776.0), epsg=32633)
+
+    import synthesize_scene as cli
+
+    cli.main([str(src), str(dst), "--config", str(cfg_path),
+              "--tile", "64", "--overlap", "8", "--batch-size", "4",
+              "--match-histogram", str(refp)])
+
+    nir, _ = read_geotiff(str(dst))
+    want = ref.astype(np.float32).ravel() / 10000.0
+    got = nir.ravel()
+    for q in (0.05, 0.25, 0.5, 0.75, 0.95):
+        assert abs(np.quantile(got, q) - np.quantile(want, q)) < 5e-3, q
+    assert got.min() >= want.min() - 1e-6 and got.max() <= want.max() + 1e-6
