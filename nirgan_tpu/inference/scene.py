@@ -83,7 +83,9 @@ def _pad_reflect(arr: np.ndarray, pads: Tuple[Tuple[int, int], ...]) -> np.ndarr
 def synthesize_scene(task, rgb_chw: np.ndarray, *, tile: int = 512,
                      overlap: int = 32, batch_size: int = 8,
                      meta: Optional[dict] = None, mesh=None,
-                     progress: bool = False) -> np.ndarray:
+                     process_index: Optional[int] = None,
+                     process_count: Optional[int] = None,
+                     progress: bool = False):
     """Synthesize the NIR band of one whole scene.
 
     ``task``: a bound ``Px2PxTask`` (``task.bind(params)`` done by caller).
@@ -93,9 +95,20 @@ def synthesize_scene(task, rgb_chw: np.ndarray, *, tile: int = 512,
     for per-window SatCLIP coordinates; required when the task has a SatCLIP
     route and no coords can be derived.
     ``mesh``: optional device mesh — window batches shard on its ``data``
-    axis (local-device mesh; multi-host scenes split scene-level, not here).
+    axis (local devices of this host).
 
-    Returns (1, H, W) float32 NIR reflectance.
+    Multi-host scenes split scene-level: with ``process_index``/
+    ``process_count`` set, this process takes a contiguous row band of the
+    padded scene and computes every window that TOUCHES the band — boundary
+    windows are recomputed redundantly by both neighbours (≤ ⌈tile/stride⌉−1
+    window-rows per join, a few % on real scenes), so synthesis needs NO
+    cross-process communication and each owned row is identical to the
+    single-process result.  int8 calibration uses the GLOBAL first window
+    batch so every process derives the same quantised trunk.  Returns
+    ``(band (1, rows, W) float32, row_offset)`` in original scene
+    coordinates; bands of all processes are disjoint and tile ``[0, H)``.
+
+    Without ``process_count`` (or =1): returns (1, H, W) float32 NIR.
     """
     if overlap < 0 or tile <= 2 * overlap:
         raise ValueError("need 0 <= overlap < tile/2")
@@ -117,7 +130,22 @@ def synthesize_scene(task, rgb_chw: np.ndarray, *, tile: int = 512,
                                  (O, max(O, tile - W - O))))
     Hp, Wp = pad.shape[1], pad.shape[2]
     ys, xs = tile_origins(Hp, tile, S), tile_origins(Wp, tile, S)
-    wins = [(y, x) for y in ys for x in xs]
+    wins_global = [(y, x) for y in ys for x in xs]
+
+    banded = process_count is not None and process_count > 1
+    if banded:
+        if not (0 <= process_index < process_count):
+            raise ValueError("need 0 <= process_index < process_count")
+        # contiguous padded-row bands; every window that touches the band is
+        # computed here (halo recompute, no communication)
+        bounds = [round(i * Hp / process_count)
+                  for i in range(process_count + 1)]
+        lo, hi = bounds[process_index], bounds[process_index + 1]
+        ys_mine = [y for y in ys if y < hi and y + tile > lo]
+        wins = [(y, x) for y in ys_mine for x in xs]
+    else:
+        lo, hi = 0, Hp
+        wins = wins_global
 
     w2d = np.outer(plateau_weight(tile, O), plateau_weight(tile, O))
     num = np.zeros((Hp, Wp), np.float32)
@@ -194,13 +222,18 @@ def synthesize_scene(task, rgb_chw: np.ndarray, *, tile: int = 512,
             num[y:y + tile, x:x + tile] += p * w2d
             den[y:y + tile, x:x + tile] += w2d
 
+    if task.wants_int8_serving() and task._trunk_q is None and wins:
+        # calibrate on the GLOBAL first window batch — identical on every
+        # process, so banded multi-host synthesis derives ONE shared
+        # quantised trunk (single-process: global first batch == own first)
+        tiles, embeds, _ = make_batch(wins_global[:bs_eff])
+        x = task._dn_to_reflectance(tiles, task.compute_dtype)
+        task._trunk_q = task.build_trunk_q(task._params_g, x, embeds)
+
     pending = None
     for i in range(0, len(wins), bs_eff):
         batch_wins = wins[i:i + bs_eff]
         tiles, embeds, n_real = make_batch(batch_wins)
-        if task.wants_int8_serving() and task._trunk_q is None:
-            x = task._dn_to_reflectance(tiles, task.compute_dtype)
-            task._trunk_q = task.build_trunk_q(task._params_g, x, embeds)
         dev = fused(tiles.shape[0])(task._params_g, task._stats_g, tiles,
                                     embeds, task._trunk_q)[:n_real]
         if pending is not None:
@@ -214,5 +247,11 @@ def synthesize_scene(task, rgb_chw: np.ndarray, *, tile: int = 512,
     if progress:
         print()
 
+    if banded:
+        a2, b2 = max(lo, O), min(hi, O + H)
+        if b2 <= a2:  # band entirely inside the padding margin
+            return np.zeros((1, 0, W), np.float32), 0
+        band = num[a2:b2, O:O + W] / den[a2:b2, O:O + W]
+        return band[None].astype(np.float32), a2 - O
     nir = num[O:O + H, O:O + W] / den[O:O + H, O:O + W]
     return nir[None].astype(np.float32)

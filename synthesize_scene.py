@@ -86,17 +86,45 @@ def main(argv=None):
           f"(EPSG:{meta.get('epsg', '?')}), tile={args.tile} "
           f"overlap={args.overlap}")
 
+    import jax
+
     mesh = None
     if args.mesh:
-        import jax
-
         from nirgan_tpu.parallel import create_mesh
 
         mesh = create_mesh(("data",), devices=jax.local_devices())
 
-    nir = synthesize_scene(task, rgb, tile=args.tile, overlap=args.overlap,
-                           batch_size=args.batch_size, meta=meta, mesh=mesh,
-                           progress=True)
+    nprocs = jax.process_count()
+    if nprocs > 1:
+        # multi-host (NIRGAN_MULTIHOST=1): every host reads the scene, takes
+        # a contiguous row band with halo recompute (no communication inside
+        # synthesis), then rank 0 assembles the disjoint bands and writes
+        from jax.experimental import multihost_utils
+
+        band, off = synthesize_scene(
+            task, rgb, tile=args.tile, overlap=args.overlap,
+            batch_size=args.batch_size, meta=meta, mesh=mesh,
+            process_index=jax.process_index(), process_count=nprocs,
+            progress=jax.process_index() == 0)
+        info = multihost_utils.process_allgather(
+            np.array([band.shape[1], off], np.int64))
+        maxh = max(int(info[:, 0].max()), 1)
+        buf = np.zeros((maxh, band.shape[2]), np.float32)
+        buf[:band.shape[1]] = band[0]
+        bands = multihost_utils.process_allgather(buf)
+        if jax.process_index() != 0:
+            print(f"[proc {jax.process_index()}] band rows {off}.."
+                  f"{off + band.shape[1]} done; rank 0 writes")
+            return
+        nir = np.zeros((1, rgb.shape[1], rgb.shape[2]), np.float32)
+        for p2 in range(nprocs):
+            h2, o2 = int(info[p2, 0]), int(info[p2, 1])
+            nir[0, o2:o2 + h2] = bands[p2, :h2]
+    else:
+        nir = synthesize_scene(task, rgb, tile=args.tile,
+                               overlap=args.overlap,
+                               batch_size=args.batch_size, meta=meta,
+                               mesh=mesh, progress=True)
 
     if args.match_histogram:
         import jax.numpy as jnp

@@ -212,6 +212,26 @@ def test_two_process_bulk_serving(tmp_path):
         np.testing.assert_array_equal(a, b, err_msg=f)
 
 
+def test_two_process_scene_cli(tmp_path):
+    """Multi-host whole-scene CLI: two jax.distributed processes each take a
+    contiguous row band (halo recompute), rank 0 allgathers + writes; output
+    equals the single-process scene synthesis on the same weights."""
+    outdir = str(tmp_path)
+    _spawn_pair(os.path.join(REPO, "tests", "mp_scene_worker.py"), outdir)
+
+    from nirgan_tpu.data.geotiff import read_geotiff
+    from nirgan_tpu.inference import synthesize_scene
+
+    nir, meta = read_geotiff(os.path.join(outdir, "nir.tif"))
+    assert nir.shape == (1, 150, 96) and meta["epsg"] == 32633
+
+    task = _task_serving()
+    rng = np.random.default_rng(11)   # the worker's scene
+    scene = rng.integers(0, 10000, size=(3, 150, 96)).astype(np.uint16)
+    ref = synthesize_scene(task, scene, tile=64, overlap=16, batch_size=4)
+    np.testing.assert_allclose(nir, ref, atol=1e-5)
+
+
 def _task_serving():
     from nirgan_tpu.config import load_config
     from nirgan_tpu.tasks import Px2PxTask

@@ -152,6 +152,75 @@ def test_scene_rejects_bad_args():
         synthesize_scene(task, np.zeros((4, 8, 8), np.float32))
 
 
+# --------------------------------------------- multi-host scene banding
+
+def test_scene_banded_matches_full():
+    """process_index/process_count banding (halo recompute, zero
+    communication): the disjoint bands tile [0, H) and stitch bit-close to
+    the single-process scene — the multi-host contract of the CLI."""
+    task = _task()
+    rng = np.random.default_rng(7)
+    scene = rng.integers(0, 10000, size=(3, 150, 96)).astype(np.uint16)
+    full = synthesize_scene(task, scene, tile=64, overlap=16, batch_size=4)
+
+    for nproc in (2, 3):
+        got = np.full((150, 96), np.nan, np.float32)
+        covered = np.zeros(150, bool)
+        for p in range(nproc):
+            band, off = synthesize_scene(task, scene, tile=64, overlap=16,
+                                         batch_size=4, process_index=p,
+                                         process_count=nproc)
+            rows = band.shape[1]
+            assert not covered[off:off + rows].any()   # disjoint
+            covered[off:off + rows] = True
+            got[off:off + rows] = band[0]
+        assert covered.all()                            # tiles [0, H)
+        np.testing.assert_allclose(got, full[0], atol=1e-5)
+
+
+def test_scene_banded_empty_band():
+    """Absurd process counts: bands entirely inside the padding margin
+    return an empty (1, 0, W) band instead of dividing by zero."""
+    task = _identity(_task())
+    scene = np.random.default_rng(8).random((3, 40, 48)).astype(np.float32)
+    bands = [synthesize_scene(task, scene, tile=64, overlap=16, batch_size=2,
+                              process_index=p, process_count=8)
+             for p in range(8)]
+    got = np.full((40, 48), np.nan, np.float32)
+    for band, off in bands:
+        got[off:off + band.shape[1]] = band[0]
+    expect = scene.mean(0) * 0.5 - 0.1
+    np.testing.assert_allclose(got, expect, atol=2e-6)
+    assert any(b.shape[1] == 0 for b, _ in bands)       # exercised
+
+
+def test_scene_banded_int8_shared_calibration():
+    """Banded int8 synthesis calibrates every process on the GLOBAL first
+    window batch: fresh tasks per band derive the same quantised trunk and
+    the stitched scene equals the single-process int8 run exactly."""
+    def fresh():
+        cfg = load_config("configs/config_px2px.yaml")
+        cfg.base_configs.ngf = 8
+        cfg.base_configs.ndf = 8
+        cfg.Data.padding_amount = 2
+        cfg.tpu.compute_dtype = "float32"
+        cfg.tpu.serving_quant = "int8"
+        t = Px2PxTask(cfg)
+        t.bind(t.init_state(seed=0, image_size=32))
+        return t
+
+    scene = np.random.default_rng(9).integers(
+        0, 10000, size=(3, 128, 64)).astype(np.uint16)
+    full = synthesize_scene(fresh(), scene, tile=64, overlap=16, batch_size=4)
+    got = np.full((128, 64), np.nan, np.float32)
+    for p in range(2):
+        band, off = synthesize_scene(fresh(), scene, tile=64, overlap=16,
+                                     batch_size=4, process_index=p,
+                                     process_count=2)
+        got[off:off + band.shape[1]] = band[0]
+    np.testing.assert_allclose(got, full[0], atol=1e-6)
+
+
 # --------------------------------------------------------- SatCLIP routes
 
 def _meta(h, w, epsg=4326, scale=0.001):
