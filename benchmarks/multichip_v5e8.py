@@ -308,15 +308,55 @@ def step_serve2d(jax):
     emit("serve2d", devices=n, max_abs_delta=err, pass_bar=f"<{bar}")
 
 
+def step_scene(jax):
+    """Whole-scene serving scaling (plan 6): the sliding-window path with
+    window batches sharded over the full data mesh, bf16 vs int8 trunk.
+    Host-side banding across PROCESSES is covered by
+    tests/test_multiprocess.py::test_two_process_scene_cli; this step
+    measures the single-host multi-chip window throughput."""
+    from nirgan_tpu.config import load_config
+    from nirgan_tpu.inference import synthesize_scene
+    from nirgan_tpu.inference.scene import tile_origins
+    from nirgan_tpu.parallel import create_mesh
+    from nirgan_tpu.tasks import Px2PxTask
+
+    n = jax.device_count()
+    size, tile, ov = (512, 128, 16) if SMOKE else (4096, 512, 32)
+    bs = (2 if SMOKE else 8) * n
+    rng = np.random.default_rng(0)
+    scene = rng.integers(0, 10000, size=(3, size, size)).astype(np.uint16)
+    for quant in ("none", "int8"):
+        cfg = load_config(os.path.join(REPO, "configs/config_px2px.yaml"))
+        cfg["tpu"] = cfg.get("tpu") or {}
+        cfg.tpu.serving_quant = quant
+        if SMOKE:
+            cfg.base_configs.ngf = 8
+            cfg.base_configs.ndf = 8
+            cfg.tpu.compute_dtype = "float32"
+        task = Px2PxTask(cfg)
+        task.bind(task.init_state(seed=0, image_size=64))
+        mesh = create_mesh(("data",))
+        synthesize_scene(task, scene[:, :2 * tile, :2 * tile], tile=tile,
+                         overlap=ov, batch_size=bs, mesh=mesh)  # warm
+        t0 = time.perf_counter()
+        out = synthesize_scene(task, scene, tile=tile, overlap=ov,
+                               batch_size=bs, mesh=mesh)
+        dt = time.perf_counter() - t0
+        assert np.isfinite(out).all()
+        nw = len(tile_origins(size + 2 * ov, tile, tile - 2 * ov)) ** 2
+        emit("scene", quant=quant, devices=n, windows=nw, tile=tile,
+             win_per_s=round(nw / dt, 2))
+
+
 def main():
     steps = [a for a in sys.argv[1:] if not a.startswith("-")]
     if not steps:
-        steps = ["ici", "ckpt", "train", "serve2d", "serve"]
+        steps = ["ici", "ckpt", "train", "serve2d", "serve", "scene"]
     jax = _setup()
     emit("env", platform=jax.default_backend(), devices=jax.device_count(),
          smoke=SMOKE)
     fns = {"ici": step_ici, "ckpt": step_ckpt, "train": step_train,
-           "serve": step_serve, "serve2d": step_serve2d}
+           "serve": step_serve, "serve2d": step_serve2d, "scene": step_scene}
     for s in steps:
         fns[s](jax)
     with open(OUT, "w") as f:
