@@ -28,7 +28,10 @@ def main(argv=None):
                    help="torch reference .ckpt or orbax checkpoint dir")
     p.add_argument("--tile", type=int, default=512)
     p.add_argument("--overlap", type=int, default=32)
-    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--batch-size", type=int, default=32,
+                   help="windows per device dispatch; measured 512² rates "
+                        "202.7/259.6/291.3 tiles/s at 8/32/128 (b128 OOMs "
+                        "nothing but needs ~100 MB input per batch)")
     p.add_argument("--quant", choices=["none", "int8"], default=None,
                    help="serving quantisation override (tpu.serving_quant)")
     p.add_argument("--mesh", action="store_true",
