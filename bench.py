@@ -251,9 +251,20 @@ def _run_child(mode: str, timeout_s: int) -> "tuple[int, str]":
 
 
 def main():
-    rc, out = _run_child("--_probe", PROBE_TIMEOUT_S)
+    # two probe attempts with a cooldown between: a KILLED axon client (any
+    # watchdog-fired process earlier in the session) wedges the device lease
+    # ~10 min, during which a LIVE tunnel looks exactly like a dead one
+    # (hang in backend init) — see RESULTS.md "wedged device lease"
+    for attempt in range(2):
+        rc, out = _run_child("--_probe", PROBE_TIMEOUT_S)
+        if rc == 0 and "PROBE_OK" in out:
+            break
+        if attempt == 0:
+            print("probe attempt 1 failed (rc=%d); cooling down 300s in case "
+                  "of a wedged device lease" % rc, file=sys.stderr)
+            time.sleep(300)
     if rc != 0 or "PROBE_OK" not in out:
-        why = ("backend probe hung >%ds" % PROBE_TIMEOUT_S if rc == -1
+        why = ("backend probe hung >%ds twice" % PROBE_TIMEOUT_S if rc == -1
                else "backend probe failed (rc=%d) — axon tunnel down?" % rc)
         _emit_fallback(why)
         return 0
