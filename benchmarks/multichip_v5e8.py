@@ -98,9 +98,7 @@ def step_ici(jax):
 
     @jax.jit
     def allreduce_sum(x, acc):
-        from jax.experimental.shard_map import shard_map
-
-        y = shard_map(
+        y = jax.shard_map(
             lambda s: jax.lax.psum(s, "data"), mesh=mesh,
             in_specs=P("data"), out_specs=P("data"))(x)
         return acc + y[0, 0]
