@@ -41,7 +41,11 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.path.join(REPO, "benchmarks", "multichip_results.json")
+# smoke rehearsals write their own file so they can never clobber a
+# real-hardware record
+OUT = os.path.join(REPO, "benchmarks",
+                   "multichip_results_smoke.json" if SMOKE
+                   else "multichip_results.json")
 RESULTS = []
 
 
