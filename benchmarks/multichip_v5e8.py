@@ -237,22 +237,29 @@ def step_serve(jax):
         for (nb, nh) in shapes:
             mesh = create_mesh(("data", "spatial"),
                                devices=jax.devices()[:n], shape=(nb, nh))
-            fn, grid = spatial_predict_fn_2d(task, mesh)
+            _, grid = spatial_predict_fn_2d(task, mesh)
+            repl = NamedSharding(mesh, P())
             bs = per_chip * nb
             x = rng.random((bs, size, size, 3), np.float32)
             xd = jax.device_put(x, grid)
-            pd = jax.device_put(params, NamedSharding(mesh, P()))
+            pd = jax.device_put(params, repl)
+            # ONE dispatch per iteration, everything passed as sharded
+            # ARGUMENTS: a sum/add outside jit pays two extra op round-trips
+            # per iter (~35 ms on the tunnel, first measured as a fake 20%
+            # "overhead"), and jit-closing-over device arrays bakes them in
+            # as constants (measured 50× slower)
+            run = jax.jit(
+                lambda p, rgb, tq, acc: acc + jnp.sum(task.g_apply(
+                    p, rgb.astype(task.compute_dtype), train=False,
+                    trunk_q=tq).astype(jnp.float32)),
+                in_shardings=(repl, grid, repl, repl), out_shardings=repl)
 
-            def run(acc):
-                pred = fn(pd, xd, qp)
-                return acc + jnp.sum(pred)
-
-            acc = run(jnp.zeros((), np.float32))
+            acc = run(pd, xd, qp, jnp.zeros((), np.float32))
             float(acc)
             acc = jnp.zeros((), np.float32)
             t0 = time.perf_counter()
             for _ in range(iters):
-                acc = run(acc)
+                acc = run(pd, xd, qp, acc)
             assert np.isfinite(float(acc))
             dt = (time.perf_counter() - t0) / iters
             emit("serve", mesh=f"({nb},{nh})", quant=quant or "bf16",
