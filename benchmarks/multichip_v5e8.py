@@ -243,20 +243,23 @@ def step_serve(jax):
             x = rng.random((bs, size, size, 3), np.float32)
             xd = jax.device_put(x, grid)
             pd = jax.device_put(params, repl)
-            # ONE dispatch per iteration, everything passed as sharded
-            # ARGUMENTS: a sum/add outside jit pays two extra op round-trips
-            # per iter (~35 ms on the tunnel, first measured as a fake 20%
-            # "overhead"), and jit-closing-over device arrays bakes them in
-            # as constants (measured 50× slower)
+            # ONE dispatch per iteration, EVERY argument committed to the
+            # mesh (incl. the scalar accumulator): a sum/add outside jit
+            # pays two extra op round-trips per iter; jit-closing-over
+            # device arrays bakes them in as constants (50× slower); and a
+            # single UNCOMMITTED argument in an otherwise sharded call
+            # measured 2.4× slower through the tunnel — fully-consistent
+            # commitment matches plain jit exactly (RESULTS.md round 4)
             run = jax.jit(
                 lambda p, rgb, tq, acc: acc + jnp.sum(task.g_apply(
                     p, rgb.astype(task.compute_dtype), train=False,
                     trunk_q=tq).astype(jnp.float32)),
                 in_shardings=(repl, grid, repl, repl), out_shardings=repl)
 
-            acc = run(pd, xd, qp, jnp.zeros((), np.float32))
+            zero = jax.device_put(np.zeros((), np.float32), repl)
+            acc = run(pd, xd, qp, zero)
             float(acc)
-            acc = jnp.zeros((), np.float32)
+            acc = zero
             t0 = time.perf_counter()
             for _ in range(iters):
                 acc = run(pd, xd, qp, acc)
