@@ -48,8 +48,6 @@ def main():
     # is smooth and seams are the dominant artifact, as in production
     import pickle
 
-    import jax
-
     from nirgan_tpu.data import dataset_selector
 
     cache = "/tmp/seam_ab_params.pkl"
