@@ -9,7 +9,11 @@ and write the synthetic NIR band as a GeoTIFF with the input's grid.
 
     python synthesize_scene.py input_rgb.tif output_nir.tif \
         --config configs/config_px2px.yaml --ckpt logs/run/best \
-        [--tile 512 --overlap 32 --batch-size 8 --quant int8 --mesh]
+        [--tile 512 --overlap 32 --batch-size 32 --quant int8 --mesh \
+         --match-histogram ref_nir.tif]
+
+Under ``NIRGAN_MULTIHOST=1`` with >1 process, each host synthesizes a
+contiguous row band (halo recompute) and rank 0 assembles + writes.
 """
 
 import argparse
