@@ -49,6 +49,9 @@ V5E_BF16_PEAK = 197e12  # TFLOP/s per chip
 # trivial-op round trip, 2026-08-19) — 300 s produced a false STALE on a
 # slow day; a dead tunnel costs one bounded 10-min wait per round instead
 PROBE_TIMEOUT_S = int(os.environ.get("NIRGAN_BENCH_PROBE_TIMEOUT", 600))
+# cooldown before the probe retry: long enough for a wedged device lease
+# (a killed client blocks the next one ~10 min) to expire
+PROBE_COOLDOWN_S = int(os.environ.get("NIRGAN_BENCH_PROBE_COOLDOWN", 300))
 MEASURE_TIMEOUT_S = int(os.environ.get("NIRGAN_BENCH_MEASURE_TIMEOUT", 2400))
 
 
@@ -260,9 +263,10 @@ def main():
         if rc == 0 and "PROBE_OK" in out:
             break
         if attempt == 0:
-            print("probe attempt 1 failed (rc=%d); cooling down 300s in case "
-                  "of a wedged device lease" % rc, file=sys.stderr)
-            time.sleep(300)
+            print("probe attempt 1 failed (rc=%d); cooling down %ds in case "
+                  "of a wedged device lease" % (rc, PROBE_COOLDOWN_S),
+                  file=sys.stderr)
+            time.sleep(PROBE_COOLDOWN_S)
     if rc != 0 or "PROBE_OK" not in out:
         why = ("backend probe hung >%ds twice" % PROBE_TIMEOUT_S if rc == -1
                else "backend probe failed (rc=%d) — axon tunnel down?" % rc)

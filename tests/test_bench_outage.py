@@ -24,7 +24,9 @@ def bench(tmp_path, monkeypatch):
         "bench_under_test", os.path.join(REPO, "bench.py"))
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    # keep the test hermetic: last-good lives in tmp, seeded like round 2
+    # keep the test hermetic: last-good lives in tmp, seeded like round 2;
+    # no real 300s wedged-lease cooldown between stubbed probe attempts
+    monkeypatch.setattr(mod, "PROBE_COOLDOWN_S", 0)
     monkeypatch.setattr(mod, "LAST_GOOD", str(tmp_path / "last_good.json"))
     (tmp_path / "last_good.json").write_text(json.dumps(
         {"value": 291.7, "unit": "tiles/sec/chip", "vs_baseline": 0.622}))
@@ -106,7 +108,8 @@ def test_real_subprocess_probe_path_is_wired():
     a bad mode): `--_probe` on a dead tunnel is covered live by the driver;
     here just assert the CLI accepts the parent mode with instant-fail
     timeouts and still exits 0 with a JSON line."""
-    env = dict(os.environ, NIRGAN_BENCH_PROBE_TIMEOUT="1")
+    env = dict(os.environ, NIRGAN_BENCH_PROBE_TIMEOUT="1",
+               NIRGAN_BENCH_PROBE_COOLDOWN="0")
     res = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                          capture_output=True, text=True, timeout=120,
                          env=env, cwd=REPO)
