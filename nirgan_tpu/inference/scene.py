@@ -112,6 +112,18 @@ def synthesize_scene(task, rgb_chw: np.ndarray, *, tile: int = 512,
     """
     if overlap < 0 or tile <= 2 * overlap:
         raise ValueError("need 0 <= overlap < tile/2")
+    netg = str(getattr(task, "opt", None) and task.opt.get("netG", ""))
+    if netg.startswith("unet"):
+        # a UNet bottleneck needs its input divisible by 2^num_downs; the
+        # reference's torch UNet fails identically under reflect-pad
+        # (model/pix2pix.py:91-108), so UNet serving runs unpadded
+        downs = 7 if netg == "unet_128" else 8
+        eff = tile + 2 * getattr(task, "pad_amount", 0)
+        if eff % (1 << downs):
+            raise ValueError(
+                f"{netg} needs (tile + 2·padding_amount) divisible by "
+                f"{1 << downs}, got {eff} — serve UNets with Data.padding: "
+                f"false and a power-of-two tile")
     rgb_chw = np.asarray(rgb_chw)
     if rgb_chw.ndim != 3 or rgb_chw.shape[0] != 3:
         raise ValueError(f"expected (3, H, W) scene, got {rgb_chw.shape}")

@@ -152,6 +152,37 @@ def test_scene_rejects_bad_args():
         synthesize_scene(task, np.zeros((4, 8, 8), np.float32))
 
 
+def test_scene_unet_family():
+    """The scene API spans model families: a UNet generator (fixed-depth
+    bottleneck — windows must be exactly tile², which the sliding-window
+    cutter guarantees) synthesizes a non-multiple-size scene seamlessly."""
+    cfg = load_config("configs/config_px2px.yaml")
+    cfg.base_configs.netG = "unet_128"
+    cfg.base_configs.ngf = 8
+    cfg.base_configs.ndf = 8
+    # UNet bottlenecks need power-of-two inputs: reflect-pad would break the
+    # reference's torch UNet identically (model/pix2pix.py:91-108), so UNet
+    # serving runs unpadded
+    cfg.Data.padding = False
+    cfg.tpu.compute_dtype = "float32"
+    task = Px2PxTask(cfg)
+    task.bind(task.init_state(seed=0, image_size=128))
+    scene = np.random.default_rng(10).integers(
+        0, 10000, size=(3, 150, 170)).astype(np.uint16)
+    out = synthesize_scene(task, scene, tile=128, overlap=16, batch_size=2)
+    assert out.shape == (1, 150, 170) and np.isfinite(out).all()
+
+    # pad-incompatible UNet serving is rejected with guidance, not a cryptic
+    # XLA concat error (a padded-config UNet task cannot even init — same as
+    # the torch reference — so flip the serving pad on a built task)
+    task.use_padding, task.pad_amount = True, 10
+    with pytest.raises(ValueError, match="unet_128"):
+        synthesize_scene(task, scene, tile=128, overlap=16, batch_size=2)
+    with pytest.raises(ValueError, match="power-of-two"):
+        task.use_padding, task.pad_amount = False, 0
+        synthesize_scene(task, scene, tile=96, overlap=16, batch_size=2)
+
+
 # --------------------------------------------- multi-host scene banding
 
 def test_scene_banded_matches_full():
