@@ -52,16 +52,33 @@ def main():
     ct = jnp.asarray(rng.random((B, H, H, 1), np.float32), jnp.bfloat16)
 
     real_pad = gen_mod._pad
+    real_c2r = gen_mod.conv2d_reflect
+    real_cvbr = gen_mod.conv_valid_blocked_reflect
+
+    from nirgan_tpu.ops.blocked_stem import conv_valid_blocked
+    from nirgan_tpu.ops.conv import conv2d
+    from nirgan_tpu.ops.pad import reflect_pad2d
+
+    def unfused_c2r(x, k, b=None, pad=1):
+        return conv2d(reflect_pad2d(x, pad), k, b)
+
+    def unfused_cvbr(x, k, b=None, factor=4):
+        return conv_valid_blocked(reflect_pad2d(x, 3), k, b, factor=factor)
 
     def zero_pad(x, padding_type, amount=1):
         return jnp.pad(x, ((0, 0), (amount, amount), (amount, amount), (0, 0)))
 
-    def run_variant(label, padding_type, patch_all):
+    def run_variant(label, padding_type, patch_all, fold=False,
+                    unfold_trunk=False, unfold_head=False):
         gen_mod._pad = zero_pad if patch_all else real_pad
+        gen_mod.conv2d_reflect = unfused_c2r if unfold_trunk else real_c2r
+        gen_mod.conv_valid_blocked_reflect = (
+            unfused_cvbr if unfold_head else real_cvbr)
         try:
             model = ResnetGenerator(
                 input_nc=3, output_nc=1, ngf=64, norm_type="instance",
-                padding_type=padding_type, compute_dtype=jnp.bfloat16)
+                padding_type=padding_type, compute_dtype=jnp.bfloat16,
+                reflect_fold=fold)
             params = model.init(jax.random.PRNGKey(0), x[:1])
 
             @jax.jit
@@ -93,9 +110,16 @@ def main():
                 print(f"{label:12s} {name:8s} {dt*1e3:7.2f} ms", flush=True)
         finally:
             gen_mod._pad = real_pad
+            gen_mod.conv2d_reflect = real_c2r
+            gen_mod.conv_valid_blocked_reflect = real_cvbr
 
     print(f"== generator pad A/B, b{B} @{H}², bf16 ==", flush=True)
     run_variant("reflect", "reflect", False)
+    run_variant("FOLDED", "reflect", False, fold=True)
+    run_variant("FOLD-headonly", "reflect", False, fold=True,
+                unfold_trunk=True)
+    run_variant("FOLD-trunkonly", "reflect", False, fold=True,
+                unfold_head=True)
     run_variant("zero-trunk", "zero", False)
     run_variant("zero-all", "zero", True)
 

@@ -33,6 +33,7 @@ from nirgan_tpu.models.layers import (
 )
 from nirgan_tpu.ops import initializers as inits
 from nirgan_tpu.ops.blocked_stem import conv_valid_blocked, stem_downsample_blocked
+from nirgan_tpu.ops.reflect_conv import conv2d_reflect, conv_valid_blocked_reflect
 from nirgan_tpu.ops.pad import reflect_pad2d
 from nirgan_tpu.ops.resize import resize_bilinear
 
@@ -85,24 +86,40 @@ class ResnetBlock(nn.Module):
     use_bias: bool = True
     kernel_init: Callable = inits.normal(0.02)
     param_dtype: Any = jnp.float32
+    # Fold the reflect pads into the convs (ops/reflect_conv.py): the
+    # explicit pad is a sublane relayout + fusion barrier measured at 28%
+    # of the generator fwd+bwd in context (benchmarks/padfold_ab.py).
+    # Math-identical (borders recomputed exactly); flag kept for A/B.
+    reflect_fold: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         p = 1 if self.padding_type == "zero" else 0
-        h = x if p else _pad(x, self.padding_type)
-        h = TorchConv(
+        fold = self.reflect_fold and self.padding_type == "reflect"
+        conv1 = TorchConv(
             self.dim, 3, padding=p, use_bias=self.use_bias,
             kernel_init=self.kernel_init, param_dtype=self.param_dtype, name="conv1",
-        )(h)
+        )
+        if fold:
+            k1, b1 = conv1(x, return_params=True)
+            h = conv2d_reflect(x, k1, b1, pad=1)
+        else:
+            h = x if p else _pad(x, self.padding_type)
+            h = conv1(h)
         h = Norm(self.norm_type, name="norm1")(h, train)
         h = nn.relu(h)
         if self.use_dropout:
             h = nn.Dropout(0.5, deterministic=not train)(h)
-        h = h if p else _pad(h, self.padding_type)
-        h = TorchConv(
+        conv2 = TorchConv(
             self.dim, 3, padding=p, use_bias=self.use_bias,
             kernel_init=self.kernel_init, param_dtype=self.param_dtype, name="conv2",
-        )(h)
+        )
+        if fold:
+            k2, b2 = conv2(h, return_params=True)
+            h = conv2d_reflect(h, k2, b2, pad=1)
+        else:
+            h = h if p else _pad(h, self.padding_type)
+            h = conv2(h)
         h = Norm(self.norm_type, name="norm2")(h, train)
         return x + h
 
@@ -141,6 +158,10 @@ class ResnetGenerator(nn.Module):
     # 7×7 stem and stride-2 d0 convs in 2×2 blocked layout (measured ~3×
     # faster on TPU, math-identical).  Auto-falls back when inapplicable.
     blocked_stem: bool = True
+    # Fold reflect pads into the convs everywhere (ops/reflect_conv.py):
+    # exact, and removes the dominant relayout/fusion-barrier cost
+    # (benchmarks/padfold_ab.py).  Flag kept for A/B.
+    reflect_fold: bool = True
 
     @nn.compact
     def __call__(self, x, embeds: Optional[jnp.ndarray] = None, train: bool = False,
@@ -172,9 +193,13 @@ class ResnetGenerator(nn.Module):
             k3, b3 = d0(jnp.zeros((1, 1, 1, self.ngf), x.dtype), return_params=True)
             h = stem_downsample_blocked(_pad(x, "reflect", 3), k7, b7, k3, b3)
         else:
-            # stem: reflect-pad 3 + 7×7 conv
-            h = _pad(x, "reflect", 3)
-            h = c0(h)
+            # stem: reflect-pad 3 + 7×7 conv (fold: ops/reflect_conv.py)
+            if self.reflect_fold:
+                k7, b7 = c0(x, return_params=True)
+                h = conv2d_reflect(x, k7, b7, pad=3)
+            else:
+                h = _pad(x, "reflect", 3)
+                h = c0(h)
             h = n0(h, train)
             h = nn.relu(h)
             # downsampling ×2
@@ -217,6 +242,7 @@ class ResnetGenerator(nn.Module):
                 use_bias=use_bias,
                 param_dtype=self.param_dtype,
                 kernel_init=self.kernel_init,
+                reflect_fold=self.reflect_fold,
                 name=f"r{i}",
             )(h, train)
 
@@ -238,15 +264,22 @@ class ResnetGenerator(nn.Module):
             # run the conv in space-to-depth layout and interleave only the
             # tiny 1-channel output (ops/blocked_stem.py).
             kh_, bh_ = c1(h, return_params=True)
-            hp = _pad(h, "reflect", 3)
-            if _use_pallas_head(hp.shape, kh_.shape):
+            pallas_shape = (h.shape[0], h.shape[1] + 6, h.shape[2] + 6, h.shape[3])
+            if _use_pallas_head(pallas_shape, kh_.shape):
                 from nirgan_tpu.ops.pallas_head import head_conv_pallas
 
-                h = head_conv_pallas(hp, kh_)
+                h = head_conv_pallas(_pad(h, "reflect", 3), kh_)
                 if bh_ is not None:
                     h = h + bh_.astype(h.dtype)
+            elif self.reflect_fold:
+                # pad folded into the strided conv (ops/reflect_conv.py)
+                h = conv_valid_blocked_reflect(h, kh_, bh_, factor=head_factor)
             else:
-                h = conv_valid_blocked(hp, kh_, bh_, factor=head_factor)
+                h = conv_valid_blocked(_pad(h, "reflect", 3), kh_, bh_,
+                                       factor=head_factor)
+        elif self.reflect_fold:
+            kh_, bh_ = c1(h, return_params=True)
+            h = conv2d_reflect(h, kh_, bh_, pad=3)
         else:
             h = _pad(h, "reflect", 3)
             h = c1(h)

@@ -316,7 +316,17 @@ def test_int8_under_spatial_sharding():
     single = np.asarray(jax.jit(
         lambda p, x: task.g_apply(p, x, train=False, trunk_q=qp))(params, x_nhwc))
     single = np.transpose(single, (0, 3, 1, 2))
-    np.testing.assert_allclose(sharded, single, rtol=2e-5, atol=2e-5)
+    # NOT bit-equality: the trunk's f32 IN-moment all-reduces reassociate
+    # under GSPMD, and the per-block REquantisation amplifies any near-
+    # boundary ulp difference into one-quant-step flips that cascade
+    # through the 9 blocks (observed max ≈ 0.03 on the [-1,1] output).
+    # The float path *is* held to bit-equality (test_spatial_sharding);
+    # for int8 the robust contract is agreement within quantisation noise.
+    err = float(np.max(np.abs(sharded - single)))
+    assert err < 0.1, f"sharded int8 deviates beyond quant noise: {err}"
+    mse = float(np.mean(np.square(sharded - single)))
+    psnr = 10 * np.log10(4.0 / mse) if mse else np.inf  # range [-1,1] → 2²
+    assert psnr > 40.0, f"sharded-vs-single int8 PSNR {psnr:.1f} dB"
     # and it actually ran the int8 path: differs from float, but within guard
     flt = predict_large_tile(task, params, rgb, mesh)
     assert not np.array_equal(sharded, flt)

@@ -1,0 +1,108 @@
+"""Reflect-pad folding (ops/reflect_conv.py) is exact.
+
+The fold replaces ``conv(reflect_pad(x, p), k)`` with a zero-SAME conv
+plus exactly recomputed border strips (the reflect pad of a large tensor
+is a sublane relayout + fusion barrier measured at ~28% of the generator
+fwd+bwd in context — benchmarks/padfold_ab.py).  Interior values are the
+same conv on the same inputs; borders are the same contraction in a
+separate small conv, so f32 forward agreement is exact and gradients
+agree to reassociation error.
+
+Reference pattern: model/networks.py:341,406 (ReflectionPad2d → Conv2d).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nirgan_tpu.models.generator import ResnetGenerator
+from nirgan_tpu.ops.blocked_stem import conv_valid_blocked
+from nirgan_tpu.ops.conv import conv2d
+from nirgan_tpu.ops.pad import reflect_pad2d
+from nirgan_tpu.ops.reflect_conv import conv2d_reflect, conv_valid_blocked_reflect
+
+
+@pytest.mark.parametrize(
+    "h,w,cin,cout,k,p",
+    [
+        (69, 69, 16, 16, 3, 1),   # trunk shape class
+        (20, 24, 8, 16, 3, 1),    # rectangular
+        (33, 35, 4, 4, 7, 3),     # head kernel class, odd dims
+        (40, 40, 6, 1, 7, 3),     # Cout=1 head
+        (5, 5, 3, 3, 3, 1),       # fallback (too small for strips)
+        (7, 13, 3, 2, 7, 3),      # fallback, rectangular
+    ],
+)
+def test_conv2d_reflect_exact(h, w, cin, cout, k, p):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((2, h, w, cin), np.float32))
+    kern = jnp.asarray(rng.random((k, k, cin, cout), np.float32) * 0.1)
+    bias = jnp.asarray(rng.random((cout,), np.float32))
+    ref = conv2d(reflect_pad2d(x, p), kern, bias)
+    got = conv2d_reflect(x, kern, bias, pad=p)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=2e-5)
+
+
+@pytest.mark.parametrize("h,w,f", [(68, 72, 4), (66, 70, 2), (40, 40, 4)])
+def test_blocked_reflect_exact(h, w, f):
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.random((2, h, w, 8), np.float32))
+    k7 = jnp.asarray(rng.random((7, 7, 8, 1), np.float32) * 0.1)
+    bias = jnp.asarray(rng.random((1,), np.float32))
+    ref = conv_valid_blocked(reflect_pad2d(x, 3), k7, bias, factor=f)
+    got = conv_valid_blocked_reflect(x, k7, bias, factor=f)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=2e-5)
+
+
+def test_conv2d_reflect_grads_match():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.random((2, 18, 20, 6), np.float32))
+    kern = jnp.asarray(rng.random((3, 3, 6, 6), np.float32) * 0.1)
+    ct = jnp.asarray(rng.random((2, 18, 20, 6), np.float32))
+
+    def loss_ref(x, k):
+        return jnp.sum(conv2d(reflect_pad2d(x, 1), k) * ct)
+
+    def loss_fold(x, k):
+        return jnp.sum(conv2d_reflect(x, k, pad=1) * ct)
+
+    gx0, gk0 = jax.grad(loss_ref, (0, 1))(x, kern)
+    gx1, gk1 = jax.grad(loss_fold, (0, 1))(x, kern)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx0),
+                               rtol=0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk1), np.asarray(gk0),
+                               rtol=0, atol=1e-3)
+
+
+@pytest.mark.parametrize(
+    "h,w,blocked", [(40, 40, True), (40, 40, False), (37, 41, True)]
+)
+def test_generator_fold_equivalence(h, w, blocked):
+    """Full generator, fold on vs off: identical forward (f32), matching
+    parameter gradients — covers trunk blocks, stem paths, and both head
+    routes (blocked factor-4/2 and the odd-size unblocked fallback)."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((2, h, w, 3), np.float32))
+    kw = dict(input_nc=3, output_nc=1, ngf=8, n_blocks=2,
+              blocked_stem=blocked)
+    m_fold = ResnetGenerator(reflect_fold=True, **kw)
+    m_ref = ResnetGenerator(reflect_fold=False, **kw)
+    params = m_ref.init(jax.random.PRNGKey(0), x[:1])
+
+    y_ref = m_ref.apply(params, x)
+    y_fold = m_fold.apply(params, x)
+    np.testing.assert_allclose(np.asarray(y_fold), np.asarray(y_ref),
+                               rtol=0, atol=1e-6)
+
+    ct = jnp.asarray(rng.random(y_ref.shape, np.float32))
+    g_ref = jax.grad(lambda p: jnp.sum(m_ref.apply(p, x) * ct))(params)
+    g_fold = jax.grad(lambda p: jnp.sum(m_fold.apply(p, x) * ct))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_fold),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=5e-3)
