@@ -82,11 +82,14 @@ def main():
 
     def _batched_strips(x, k):
         ti, bi, li, ri = _strip_ins(x)
-        li = jnp.transpose(li, (0, 2, 1, 3))   # W-strip → H-strip layout
+        s_h = conv2d(jnp.concatenate([ti, bi], 0), k)      # (2B, p, H, C')
+        t_, b_ = jnp.split(s_h, 2, axis=0)
+        # W-strips in H-layout need the spatially transposed kernel
+        li = jnp.transpose(li, (0, 2, 1, 3))
         ri = jnp.transpose(ri, (0, 2, 1, 3))
-        cat = jnp.concatenate([ti, bi, li, ri], 0)     # (4B, 3p, H+2p, C)
-        s = conv2d(cat, k)                             # (4B, p, H, C')
-        t_, b_, l_, r_ = jnp.split(s, 4, axis=0)
+        kt = jnp.transpose(k, (1, 0, 2, 3))
+        s_w = conv2d(jnp.concatenate([li, ri], 0), kt)     # (2B, p, H, C')
+        l_, r_ = jnp.split(s_w, 2, axis=0)
         return (t_, b_, jnp.transpose(l_, (0, 2, 1, 3)),
                 jnp.transpose(r_, (0, 2, 1, 3)))
 
