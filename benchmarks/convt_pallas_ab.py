@@ -32,7 +32,10 @@ def main():
     import jax.numpy as jnp
     from jax import lax
 
-    from nirgan_tpu.ops.pallas_convt_bwd import convt_k3s2_dx, convt_k3s2_dw
+    from nirgan_tpu.ops.pallas_convt_bwd import (
+        convt_bwd_supported,
+        convt_k3s2_bwd,
+    )
 
     B = args.batch
     rng = np.random.default_rng(0)
@@ -83,22 +86,22 @@ def main():
                 dimension_numbers=_DIMSPEC)
         return u1_fwd
 
-    for tag, hi, ci, co in (("u1", 138, 128, 64), ("u0", 69, 256, 128)):
-        if (2 * hi) % 2 or hi % 3 and hi % 2:
-            pass
+    for tag, hi, ci, co in (("u1", 138, 128, 64), ("u0", 138, 256, 128)):
         z = jnp.asarray(rng.random((B, hi, hi, ci), np.float32), jnp.bfloat16)
         w = jnp.asarray(rng.random((3, 3, ci, co), np.float32) * 0.05,
                         jnp.bfloat16)
         ct = jnp.asarray(rng.random((B, 2 * hi, 2 * hi, co), np.float32),
                          jnp.bfloat16)
+        if not convt_bwd_supported(ct.shape, w.shape):
+            print(f"[{tag}] unsupported shape, skipped", flush=True)
+            continue
         flops = 2 * 9 * ci * co * hi * hi * B
         u1_fwd = u1_fwd_factory(ci, co)
 
         # correctness on-device first
         _, vjp = jax.vjp(u1_fwd, z, w)
         dz_ref, dw_ref = vjp(ct)
-        dz = convt_k3s2_dx(ct, w)
-        dw = convt_k3s2_dw(ct, z)
+        dz, dw = convt_k3s2_bwd(ct, z, w)
         e1 = float(jnp.max(jnp.abs(dz.astype(jnp.float32)
                                    - dz_ref.astype(jnp.float32)))
                    / jnp.max(jnp.abs(dz_ref.astype(jnp.float32))))
@@ -108,22 +111,24 @@ def main():
               flush=True)
         assert e1 < 3e-2 and e2 < 3e-2, (tag, e1, e2)
 
-        def xla_dx(ct, z, w, acc_unused=None):
+        def xla_both(ct, z, w):
             _, vjp = jax.vjp(u1_fwd, z, w)
-            return vjp(ct)[0]
+            dz, dw = vjp(ct)
+            return dz + 0 * jnp.sum(dw)  # consume both
 
-        def xla_dw(ct, z, w):
+        def xla_both_full(ct, z, w):
             _, vjp = jax.vjp(u1_fwd, z, w)
-            return vjp(ct)[1]
+            dz, dw = vjp(ct)
+            return jnp.sum(dz.astype(jnp.float32)) + jnp.sum(
+                dw.astype(jnp.float32))
 
-        bench(f"[{tag}] dx XLA-derived", lambda c, z, w: xla_dx(c, z, w),
-              (ct, z, w), flops)
-        bench(f"[{tag}] dx pallas", lambda c, w: convt_k3s2_dx(c, w),
-              (ct, w), flops)
-        bench(f"[{tag}] dw XLA-derived", lambda c, z, w: xla_dw(c, z, w),
-              (ct, z, w), flops)
-        bench(f"[{tag}] dw pallas", lambda c, z: convt_k3s2_dw(c, z),
-              (ct, z), flops)
+        # dx+dw together, both stacks (2× flops credit)
+        bench(f"[{tag}] dx+dw XLA-derived",
+              lambda c, z, w: xla_both_full(c, z, w), (ct, z, w), 2 * flops)
+        bench(f"[{tag}] dx+dw pallas fused",
+              lambda c, z, w: sum(jnp.sum(t.astype(jnp.float32))
+                                  for t in convt_k3s2_bwd(c, z, w)),
+              (ct, z, w), 2 * flops)
 
 
 if __name__ == "__main__":

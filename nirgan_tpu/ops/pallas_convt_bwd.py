@@ -11,9 +11,9 @@ trainledger_probe) because each one re-reads or re-lays-out the 312 MB
 cotangent; the conv emitter itself is the wall (the pallas_head.py
 finding at the same shape class).
 
-This kernel instead works on the FREE W-pair view of the zero-row-padded
+These kernels instead work on the FREE W-pair view of the zero-row-padded
 cotangent — (B, H+2, W, C) reshaped to (B, H+2, W/2, 2C), a no-copy view
-because W and C are memory-adjacent in NHWC — and computes, per 6-output-
+because W and C are memory-adjacent in NHWC — and compute, per R-output-
 row grid step:
 
   dx[i, j, ci] = Σ_{uy∈3} ROW(2i+uy) · K_cat[uy]      one (W/2, 2C)×(2C, 2Ci)
@@ -28,13 +28,16 @@ row grid step:
                                                        (i, uy), f32 VMEM
                                                        accumulator
 
-Both gradients share one DMA sweep of the cotangent (the HBM-heavy
-operand); dw accumulates across the whole grid in a constant-indexed f32
-output block.  All shifts are in-VMEM; no sublane gathers anywhere.
+The 2R+1 cotangent rows per step arrive via TWO BlockSpec inputs (a 2R-row
+block plus a one-row lookahead block) — a manual HBM DMA of a W-extent
+that is not 8-aligned (138 pairs) is rejected by Mosaic, and Mosaic's own
+pipelining double-buffers BlockSpec operands anyway.  All shifts are
+in-VMEM; no sublane gathers anywhere.
 
-GSPMD cannot partition an opaque pallas_call, so the custom VJP is gated
-to unsharded single-device use (``convt_bwd_supported``); multi-chip
-training falls back to the XLA derivative (dryrun_multichip unaffected).
+GSPMD cannot partition an opaque pallas_call, so the caller must gate the
+custom VJP to unsharded single-device use (``convt_bwd_supported``);
+multi-chip training falls back to the XLA derivative (dryrun_multichip
+unaffected).
 
 Reference op: ``model/networks.py:360-363`` (ConvTranspose2d k3 s2 p1 op1).
 """
@@ -45,15 +48,11 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["convt_k3s2_dx", "convt_k3s2_dw", "convt_bwd_supported",
            "pick_rows_per_step"]
-
-_DIMSPEC = ("NHWC", "HWIO", "NHWC")
 
 
 def pick_rows_per_step(hi: int):
@@ -91,114 +90,129 @@ def _build_kcat(w):
     return jnp.concatenate([k_lo, k_hi], 2)       # (3, 2Co, 2Ci)
 
 
-def _dx_kernel(cth, kcat_ref, out_ref, xbuf, sem, *, rows: int, ci: int):
+def _row(main_ref, next_ref, idx: int, rows: int):
+    """Cotangent row ``idx`` ∈ [0, 2·rows]: the last one lives in the
+    one-row lookahead block."""
+    return main_ref[0, idx] if idx < 2 * rows else next_ref[0, 0]
+
+
+def _fused_kernel(main_ref, next_ref, z_ref, kflat_ref, dz_ref, dw_ref,
+                  acat, *, rows: int, ci: int, co: int):
+    """One grid step: build the shared (rows·Wi, 3·2Co) operand A (row r's
+    segment holds cotangent rows 2r..2r+2 side by side), then
+
+      dx: ONE (rows·Wi, 3·2Co)×(3·2Co, 2Ci) MXU dot, split lo/hi per row
+          segment with a zero-inserting shift (the W edge);
+      dw: two transposed dots z̄ᵀ·A into the f32 accumulator.
+
+    A per-(row, uy) K=128 dot variant measured 6.25 ms vs XLA's 4.59 —
+    latency-bound; the fat-dot form amortises MXU issue overhead."""
     ib, ii = pl.program_id(0), pl.program_id(1)
-    dma = pltpu.make_async_copy(
-        cth.at[ib, pl.ds(ii * 2 * rows, 2 * rows + 1)], xbuf, sem)
-    dma.start()
-    dma.wait()
-    for r in range(rows):
-        p = jnp.dot(xbuf[2 * r], kcat_ref[0],
-                    preferred_element_type=jnp.float32)
-        p = p + jnp.dot(xbuf[2 * r + 1], kcat_ref[1],
-                        preferred_element_type=jnp.float32)
-        p = p + jnp.dot(xbuf[2 * r + 2], kcat_ref[2],
-                        preferred_element_type=jnp.float32)
-        lo, hi = p[:, :ci], p[:, ci:]
-        shifted = jnp.concatenate(
-            [jnp.zeros((1, ci), jnp.float32), hi[:-1]], 0)
-        out_ref[0, r] = (lo + shifted).astype(out_ref.dtype)
-
-
-def convt_k3s2_dx(ct, w):
-    """Grad-input of ``conv_transpose2d(x, w, stride=2, padding=1,
-    output_padding=1)``: equals the XLA-derived 3×3/s2 conv of the
-    cotangent, computed on the free W-pair view."""
-    b, ho, wo, co = ct.shape
-    ci = w.shape[2]
-    hi, wi = ho // 2, wo // 2
-    rows = pick_rows_per_step(hi)
-    # zero-pad H by (1,1) (cheap axis), W handled by the shift
-    cth = jnp.pad(ct, ((0, 0), (1, 1), (0, 0), (0, 0)))
-    cth = cth.reshape(b, ho + 2, wi, 2 * co)          # free view
-    kcat = _build_kcat(w.astype(ct.dtype))
-
-    kernel = functools.partial(_dx_kernel, rows=rows, ci=ci)
-    return pl.pallas_call(
-        kernel,
-        grid=(b, hi // rows),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((3, 2 * co, 2 * ci), lambda ib, ii: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, rows, wi, ci),
-                               lambda ib, ii: (ib, ii, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, hi, wi, ci), ct.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((2 * rows + 1, wi, 2 * co), ct.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
-    )(cth, kcat)
-
-
-def _dw_kernel(cth, z_ref, dw_ref, xbuf, sem, *, rows: int, co: int):
-    ib, ii = pl.program_id(0), pl.program_id(1)
-    dma = pltpu.make_async_copy(
-        cth.at[ib, pl.ds(ii * 2 * rows, 2 * rows + 1)], xbuf, sem)
-    dma.start()
+    wi = dz_ref.shape[2]
+    c2 = 2 * co
 
     @pl.when(jnp.logical_and(ib == 0, ii == 0))
     def _():
         dw_ref[...] = jnp.zeros_like(dw_ref)
 
-    dma.wait()
     for r in range(rows):
-        zr = z_ref[0, r]                               # (Wi, Ci)
-        zs = jnp.concatenate(
-            [zr[1:], jnp.zeros((1, zr.shape[1]), zr.dtype)], 0)
         for uy in range(3):
-            a = xbuf[2 * r + uy]                       # (Wi, 2Co)
-            d1 = jax.lax.dot_general(                  # (Ci, 2Co): ux=1,2
-                zr, a, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            d0 = jax.lax.dot_general(                  # (Ci, Co): ux=0
-                zs, a[:, co:], (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dw_ref[uy, :, :2 * co] += d1
-            dw_ref[uy, :, 2 * co:] += d0
+            acat[r * wi:(r + 1) * wi, uy * c2:(uy + 1) * c2] = _row(
+                main_ref, next_ref, 2 * r + uy, rows)
+
+    # ---- dx -------------------------------------------------------------
+    p = jnp.dot(acat[...], kflat_ref[...],
+                preferred_element_type=jnp.float32)    # (rows·Wi, 2Ci)
+    for r in range(rows):
+        seg = p[r * wi:(r + 1) * wi]
+        lo, hi = seg[:, :ci], seg[:, ci:]
+        shifted = jnp.concatenate(
+            [jnp.zeros((1, ci), jnp.float32), hi[:-1]], 0)
+        dz_ref[0, r] = (lo + shifted).astype(dz_ref.dtype)
+
+    # ---- dw -------------------------------------------------------------
+    z = z_ref[0]                                       # (rows, Wi, Ci)
+    zcat = z.reshape(rows * wi, ci)
+    zparts = []
+    for r in range(rows):
+        zr = z[r]
+        zparts.append(jnp.concatenate(
+            [zr[1:], jnp.zeros((1, ci), zr.dtype)], 0))
+    zscat = jnp.concatenate(zparts, 0)                 # z shifted per segment
+    d1 = jax.lax.dot_general(zcat, acat[...], (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # (Ci, 3·2Co)
+    d0 = jax.lax.dot_general(zscat, acat[...], (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    for uy in range(3):
+        dw_ref[uy, :, :c2] += d1[:, uy * c2:(uy + 1) * c2]
+        dw_ref[uy, :, c2:] += d0[:, uy * c2 + co:(uy + 1) * c2]
 
 
-def convt_k3s2_dw(ct, z):
-    """Grad-weight of the same convT: (3,3,Ci,Co), f32-accumulated."""
+def _pair_view(ct):
+    """(B, Ho, Wo, Co) → H-zero-padded free W-pair view (B, Ho+2, Wo/2, 2Co)."""
+    b, ho, wo, co = ct.shape
+    cth = jnp.pad(ct, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    return cth.reshape(b, ho + 2, wo // 2, 2 * co)
+
+
+def convt_k3s2_bwd(ct, z, w):
+    """Fused (grad-input, grad-weight) of ``conv_transpose2d(x, w,
+    stride=2, padding=1, output_padding=1)`` — one pass over the cotangent
+    feeds both gradients through a shared VMEM operand."""
     b, ho, wo, co = ct.shape
     ci = z.shape[3]
     hi, wi = ho // 2, wo // 2
     rows = pick_rows_per_step(hi)
-    cth = jnp.pad(ct, ((0, 0), (1, 1), (0, 0), (0, 0)))
-    cth = cth.reshape(b, ho + 2, wi, 2 * co)
+    cth = _pair_view(ct)
+    kflat = _build_kcat(w.astype(ct.dtype)).reshape(6 * co, 2 * ci)
 
-    kernel = functools.partial(_dw_kernel, rows=rows, co=co)
-    acc = pl.pallas_call(
+    kernel = functools.partial(_fused_kernel, rows=rows, ci=ci, co=co)
+    dz, acc = pl.pallas_call(
         kernel,
         grid=(b, hi // rows),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, 2 * rows, wi, 2 * co),
+                         lambda ib, ii: (ib, ii, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, wi, 2 * co),
+                         lambda ib, ii, r2=2 * rows: (ib, r2 * ii + r2, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rows, wi, ci), lambda ib, ii: (ib, ii, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((6 * co, 2 * ci), lambda ib, ii: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((3, ci, 3 * co), lambda ib, ii: (0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((3, ci, 3 * co), jnp.float32),
+        out_specs=[
+            pl.BlockSpec((1, rows, wi, ci), lambda ib, ii: (ib, ii, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, ci, 3 * co), lambda ib, ii: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hi, wi, ci), ct.dtype),
+            jax.ShapeDtypeStruct((3, ci, 3 * co), jnp.float32),
+        ],
         scratch_shapes=[
-            pltpu.VMEM((2 * rows + 1, wi, 2 * co), ct.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((rows * wi, 6 * co), ct.dtype),
         ],
-    )(cth, z)
+    )(cth, cth, z, kflat)
 
     # acc[uy, ci, p·Co+co] = dw[uy, 1+p]; acc[uy, ci, 2Co+co] = dw[uy, 0]
     dw = jnp.stack([acc[:, :, 2 * co:],            # ux = 0
                     acc[:, :, :co],                # ux = 1
                     acc[:, :, co:2 * co]], 1)      # ux = 2
-    return dw                                       # (3, 3, Ci, Co) f32
+    return dz, dw                                   # dz bf16-like, dw f32
+
+
+def convt_k3s2_dx(ct, w):
+    """Grad-input only (testing/benchmark convenience)."""
+    z = jnp.zeros((ct.shape[0], ct.shape[1] // 2, ct.shape[2] // 2,
+                   w.shape[2]), ct.dtype)
+    return convt_k3s2_bwd(ct, z, w)[0]
+
+
+def convt_k3s2_dw(ct, z):
+    """Grad-weight only (testing/benchmark convenience)."""
+    ci, co = z.shape[3], ct.shape[3]
+    w = jnp.zeros((3, 3, ci, co), ct.dtype)
+    return convt_k3s2_bwd(ct, z, w)[1]
