@@ -90,12 +90,17 @@ class ResnetBlock(nn.Module):
     # explicit pad is a sublane relayout + fusion barrier measured at 28%
     # of the generator fwd+bwd in context (benchmarks/padfold_ab.py).
     # Math-identical (borders recomputed exactly); flag kept for A/B.
+    # TRAIN-ONLY: the fold's backward win is large (532² G step 519→401 ms)
+    # but its forward-only form is a small net loss (the strip convs +
+    # border updates cost slightly more than the pad they replace), so
+    # serving keeps the explicit-pad graph.
     reflect_fold: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         p = 1 if self.padding_type == "zero" else 0
-        fold = self.reflect_fold and self.padding_type == "reflect"
+        fold = (self.reflect_fold and self.padding_type == "reflect"
+                and train)
         conv1 = TorchConv(
             self.dim, 3, padding=p, use_bias=self.use_bias,
             kernel_init=self.kernel_init, param_dtype=self.param_dtype, name="conv1",
@@ -193,8 +198,9 @@ class ResnetGenerator(nn.Module):
             k3, b3 = d0(jnp.zeros((1, 1, 1, self.ngf), x.dtype), return_params=True)
             h = stem_downsample_blocked(_pad(x, "reflect", 3), k7, b7, k3, b3)
         else:
-            # stem: reflect-pad 3 + 7×7 conv (fold: ops/reflect_conv.py)
-            if self.reflect_fold:
+            # stem: reflect-pad 3 + 7×7 conv (train-only fold, see
+            # ResnetBlock.reflect_fold)
+            if self.reflect_fold and train:
                 k7, b7 = c0(x, return_params=True)
                 h = conv2d_reflect(x, k7, b7, pad=3)
             else:
@@ -272,12 +278,15 @@ class ResnetGenerator(nn.Module):
                 if bh_ is not None:
                     h = h + bh_.astype(h.dtype)
             elif self.reflect_fold:
-                # pad folded into the strided conv (ops/reflect_conv.py)
+                # pad folded into the strided conv (ops/reflect_conv.py).
+                # Unlike the trunk fold this one stays on for SERVING too:
+                # forward measured −1.1/−1.8 ms (532²/276² b32, head-only
+                # rows of benchmarks/padfold_ab.py) plus −40 ms backward.
                 h = conv_valid_blocked_reflect(h, kh_, bh_, factor=head_factor)
             else:
                 h = conv_valid_blocked(_pad(h, "reflect", 3), kh_, bh_,
                                        factor=head_factor)
-        elif self.reflect_fold:
+        elif self.reflect_fold and train:
             kh_, bh_ = c1(h, return_params=True)
             h = conv2d_reflect(h, kh_, bh_, pad=3)
         else:

@@ -65,7 +65,11 @@ def conv2d_reflect(x, kernel, bias=None, pad: int = 1):
     # main conv: implicit zero padding, full speed, correct in the interior
     y = conv2d(x, kernel, bias, stride=1, padding=p)
 
-    # border strips — P(x) rows/cols [0, 3p) rebuilt from ≤2p-wide slices
+    # border strips — P(x) rows/cols [0, 3p) rebuilt from ≤2p-wide slices.
+    # Assembly A/B'd three ways IN CONTEXT (benchmarks/padfold_ab.py,
+    # foldstrip_ab.py): this 4-strip-conv + 4-DUS form measured best for
+    # the fwd+bwd training graph (532² G step: 401.4 ms vs 410.6 for the
+    # batched-strips+where variant that won the isolated fwd microbench).
     top_in = _reflect_w(
         jnp.concatenate([jnp.flip(x[:, 1:p + 1], 1), x[:, :2 * p]], 1), p)
     bot_in = _reflect_w(
@@ -82,28 +86,31 @@ def conv2d_reflect(x, kernel, bias=None, pad: int = 1):
     return y
 
 
-def _blocked_strips(xs, w_str, f: int, p: int, kh: int):
-    """Valid stride-``f`` convs of the four reflect-padded border slices.
+def _blocked_strips(xs, k, f: int, p: int, kh: int):
+    """Exact border strips for the blocked strided conv, computed as PLAIN
+    (unblocked) valid convs on the reflect-padded border slices, then
+    space-to-depth'd — the tensors are tiny, so the channel-starved plain
+    conv is cheap, and the s2d touches only ``nt``-block-wide strips.
 
-    xs: raw (unpadded) input; returns (top, bot, left, right) blocked strips
-    of ``nt = ceil(p/f)`` grid rows/cols each.
+    xs: raw (unpadded) input; returns (top, bot, left, right) blocked
+    strips of ``nt = ceil(p/f)`` grid rows/cols each (bias-free — the
+    caller adds the tiled bias after assembly).
     """
+    from nirgan_tpu.ops.blocked_stem import space_to_depth
+
     nt = -(-p // f)
     span = f * nt + kh - 1 - p  # raw rows needed beyond the mirror band
 
-    def conv_f(t):
-        return lax.conv_general_dilated(
-            t, w_str, (f, f), ((0, 0), (0, 0)), dimension_numbers=_DIMSPEC)
-
-    top = conv_f(_reflect_w(jnp.concatenate(
-        [jnp.flip(xs[:, 1:p + 1], 1), xs[:, :span]], 1), p))
-    bot = conv_f(_reflect_w(jnp.concatenate(
-        [xs[:, -span:], jnp.flip(xs[:, -p - 1:-1], 1)], 1), p))
-    left = conv_f(_reflect_h(jnp.concatenate(
-        [jnp.flip(xs[:, :, 1:p + 1], 2), xs[:, :, :span]], 2), p))
-    right = conv_f(_reflect_h(jnp.concatenate(
-        [xs[:, :, -span:], jnp.flip(xs[:, :, -p - 1:-1], 2)], 2), p))
-    return nt, top, bot, left, right
+    top = conv2d(_reflect_w(jnp.concatenate(
+        [jnp.flip(xs[:, 1:p + 1], 1), xs[:, :span]], 1), p), k)
+    bot = conv2d(_reflect_w(jnp.concatenate(
+        [xs[:, -span:], jnp.flip(xs[:, -p - 1:-1], 1)], 1), p), k)
+    left = conv2d(_reflect_h(jnp.concatenate(
+        [jnp.flip(xs[:, :, 1:p + 1], 2), xs[:, :, :span]], 2), p), k)
+    right = conv2d(_reflect_h(jnp.concatenate(
+        [xs[:, :, -span:], jnp.flip(xs[:, :, -p - 1:-1], 2)], 2), p), k)
+    return (nt, space_to_depth(top, f), space_to_depth(bot, f),
+            space_to_depth(left, f), space_to_depth(right, f))
 
 
 def conv_valid_blocked_reflect(x, k, bias=None, factor: int = 4):
@@ -131,13 +138,12 @@ def conv_valid_blocked_reflect(x, k, bias=None, factor: int = 4):
     y = lax.conv_general_dilated(
         x, w_str, (f, f), ((p, p), (p, p)), dimension_numbers=_DIMSPEC)
 
-    nt, top, bot, left, right = _blocked_strips(x, w_str, f, p, kh)
+    nt, top, bot, left, right = _blocked_strips(x, k.astype(dt), f, p, kh)
     y = y.at[:, :nt].set(top)
     y = y.at[:, -nt:].set(bot)
     y = y.at[:, :, :nt].set(left)
     y = y.at[:, :, -nt:].set(right)
 
-    cout = k.shape[3]
     if bias is not None:
         y = y + jnp.tile(bias, f * f).astype(y.dtype)
     return depth_to_space(y, f)

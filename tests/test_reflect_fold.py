@@ -94,14 +94,25 @@ def test_generator_fold_equivalence(h, w, blocked):
     m_ref = ResnetGenerator(reflect_fold=False, **kw)
     params = m_ref.init(jax.random.PRNGKey(0), x[:1])
 
+    # serving (train=False): the trunk fold is train-gated, the blocked
+    # head fold stays on — outputs must still match the unfolded model
     y_ref = m_ref.apply(params, x)
     y_fold = m_fold.apply(params, x)
     np.testing.assert_allclose(np.asarray(y_fold), np.asarray(y_ref),
-                               rtol=0, atol=1e-6)
+                               rtol=0, atol=1e-5)
+
+    # training (train=True): every fold active; interior bit-identical,
+    # borders agree to f32 reassociation
+    y_ref_t = m_ref.apply(params, x, train=True)
+    y_fold_t = m_fold.apply(params, x, train=True)
+    np.testing.assert_allclose(np.asarray(y_fold_t), np.asarray(y_ref_t),
+                               rtol=0, atol=1e-5)
 
     ct = jnp.asarray(rng.random(y_ref.shape, np.float32))
-    g_ref = jax.grad(lambda p: jnp.sum(m_ref.apply(p, x) * ct))(params)
-    g_fold = jax.grad(lambda p: jnp.sum(m_fold.apply(p, x) * ct))(params)
+    g_ref = jax.grad(
+        lambda p: jnp.sum(m_ref.apply(p, x, train=True) * ct))(params)
+    g_fold = jax.grad(
+        lambda p: jnp.sum(m_fold.apply(p, x, train=True) * ct))(params)
     for a, b in zip(jax.tree_util.tree_leaves(g_fold),
                     jax.tree_util.tree_leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
