@@ -129,3 +129,65 @@ def test_trunk_conv3x3_pallas_matches_xla():
     # real output cols are [0, 140); the kernel emits the aligned 136
     np.testing.assert_allclose(np.asarray(ref)[:, :, :136],
                                np.asarray(got), rtol=5e-4, atol=5e-4)
+
+
+def test_convt_bwd_pallas_matches_vjp():
+    """ops/pallas_convt_bwd.convt_k3s2_bwd: both u1 gradients vs jax.vjp
+    of the reference convT core (interpret mode on CPU; the TPU A/B —
+    9.72 → 7.10 ms at b32 — is in RESULTS.md round-4 cont.)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from nirgan_tpu.ops.conv import _convt_core_k3s2
+    from nirgan_tpu.ops.pallas_convt_bwd import (
+        convt_bwd_supported,
+        convt_k3s2_bwd,
+    )
+
+    rng = np.random.default_rng(0)
+    for b, hi, wi, ci, co in ((2, 12, 12, 128, 64), (1, 24, 16, 128, 64),
+                              (2, 14, 10, 256, 128)):
+        z = jnp.asarray(rng.random((b, hi, wi, ci)), jnp.float32)
+        w = jnp.asarray(0.1 * rng.random((3, 3, ci, co)), jnp.float32)
+        y, vjp = jax.vjp(_convt_core_k3s2, z, w)
+        ct = jnp.asarray(rng.random(y.shape), jnp.float32)
+        dz_ref, dw_ref = vjp(ct)
+        assert convt_bwd_supported(ct.shape, w.shape)
+        with pltpu.force_tpu_interpret_mode():
+            dz, dw = convt_k3s2_bwd(ct, z, w)
+        np.testing.assert_allclose(np.asarray(dz), np.asarray(dz_ref),
+                                   rtol=0, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref),
+                                   rtol=0, atol=2e-3)
+
+
+def test_convt_pallas_optin_grads_match(monkeypatch):
+    """conv_transpose2d with the NIRGAN_PALLAS_CONVT path forced: same
+    gradients as the default path (the opt-in must be a pure perf knob)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    import nirgan_tpu.ops.conv as conv_mod
+
+    rng = np.random.default_rng(1)
+    z = jnp.asarray(rng.random((2, 12, 12, 128)), jnp.float32)
+    w = jnp.asarray(0.1 * rng.random((3, 3, 128, 64)), jnp.float32)
+    bias = jnp.asarray(rng.random((64,)), jnp.float32)
+    ct_seed = jnp.asarray(rng.random((2, 24, 24, 64)), jnp.float32)
+
+    def loss(z, w, bias):
+        return jnp.sum(conv_mod.conv_transpose2d(z, w, bias) * ct_seed)
+
+    g_ref = jax.grad(loss, argnums=(0, 1, 2))(z, w, bias)
+    monkeypatch.setattr(conv_mod, "_use_pallas_convt", lambda: True)
+    with pltpu.force_tpu_interpret_mode():
+        g_pl = jax.grad(loss, argnums=(0, 1, 2))(z, w, bias)
+    for a, b in zip(g_ref, g_pl):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=2e-3)
