@@ -67,8 +67,13 @@ def _convt_core_k3s2(x, kernel):
 def _convt_core_k3s2_pallas(x, kernel):
     """Same forward; backward runs the fused Pallas kernel
     (ops/pallas_convt_bwd.py — u1's XLA-derived gradients measured 9.7 ms
-    vs 7.1 fused at b32).  OPT-IN via NIRGAN_PALLAS_CONVT=1 on a single
-    TPU device only: GSPMD cannot partition an opaque pallas_call."""
+    vs 7.1 fused at b32, ISOLATED).  OPT-IN via NIRGAN_PALLAS_CONVT=1 on
+    a single TPU device only (GSPMD cannot partition an opaque
+    pallas_call) and measured SLOWER in the real fused step — 119.8 →
+    126.2 ms — because the opaque call is a fusion/scheduling barrier in
+    the middle of the backward graph (RESULTS.md round-4 cont.).  Kept as
+    a flagged exemplar; the default XLA derivative is the production
+    path."""
     return _convt_core_k3s2(x, kernel)
 
 
