@@ -89,7 +89,10 @@ def main():
             @jax.jit
             def fwdbwd(params, x, ct, acc):
                 def loss(p):
-                    y = model.apply(p, x)
+                    # train=True: the trunk/stem folds are train-gated
+                    # (generator.py), so the training graph is the one
+                    # this row exists to measure
+                    y = model.apply(p, x, train=True)
                     return jnp.sum(y * ct).astype(jnp.float32)
 
                 l, grads = jax.value_and_grad(loss)(params)

@@ -101,6 +101,9 @@ _convt_core_k3s2_pallas.defvjp(_convt_fwd, _convt_bwd)
 def _use_pallas_convt() -> bool:
     import os
 
+    # env check FIRST: jax.default_backend() blocks forever when the axon
+    # tunnel is down (CLAUDE.md), so the backend probe must only run when
+    # the user explicitly opted in (same ordering as _use_pallas_head)
     return (os.environ.get("NIRGAN_PALLAS_CONVT", "0") == "1"
             and jax.default_backend() == "tpu"
             and jax.device_count() == 1)
