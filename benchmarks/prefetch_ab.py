@@ -37,6 +37,15 @@ def main():
     cfg.Data.fake_settings.length = 896
     cfg.Data.train_batch_size = 32
     cfg.Data.num_workers = 4
+    # --f16: the production thin-link config (tpu.transfer_dtype) — halves
+    # every upload.  NB it does NOT rescue this A/B on the 1-core container
+    # host (measured 2026-08-20: all windows still die INVALID_ARGUMENT with
+    # 7 retry attempts) — the root cause is loader worker threads starving
+    # the tunnel client of CPU, not transfer size (RESULTS.md round 4,
+    # "INVALID_ARGUMENT transfer failures, root-caused").  The flag is for
+    # real multi-core hosts with thin links.
+    if "--f16" in sys.argv:
+        cfg.tpu.transfer_dtype = "float16"
     task = Px2PxTask(cfg)
     dm = dataset_selector(cfg)
     mesh = create_mesh(("data",))
@@ -50,7 +59,8 @@ def main():
 
     def run(depth, steps=24):
         nonlocal state
-        feed = DeviceFeed(dm.train_dataloader(), prepare, depth=depth)
+        feed = DeviceFeed(dm.train_dataloader(), prepare, depth=depth,
+                          transfer_retries=6)
         it = iter(feed)
         s, _ = step(state, next(it))  # compile/warm outside the window
         jax.device_get(s.step)
