@@ -18,6 +18,12 @@ exists in this container, so the honest baseline is the hardware ceiling —
 speed-of-light).  The old torch-host-CPU ratio (~2000×, vacuous) is kept
 only as the labelled ``torch_host_cpu_ratio`` side-channel.
 
+Key semantics are FROZEN as of BENCH_r04: ``vs_baseline`` = MFU fraction
+(same number as ``mfu``), ``torch_host_cpu_ratio`` = tiles/s vs the torch
+reference generator on this host's CPU.  (BENCH_r01/r02 predate the freeze
+and recorded the CPU ratio in ``vs_baseline`` — do not trend that key
+across r02→r04.)
+
 Outage handling: the axon tunnel goes down for hours at a time, and a dead
 backend either raises ("Unable to initialize backend 'axon'") or *hangs
 forever* inside init.  So the default entry point runs a short subprocess
@@ -44,14 +50,19 @@ ITERS = 16
 REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(REPO, "benchmarks", "baseline_torch_cpu.json")
 LAST_GOOD = os.path.join(REPO, "benchmarks", "last_good_bench.json")
+# where the BENCH_r*.json fallback scan looks; tests point this at a tmpdir
+# of synthesized records so driver-owned files never redden the suite
+BENCH_SCAN_DIR = REPO
 V5E_BF16_PEAK = 197e12  # TFLOP/s per chip
 # a LIVE tunnel has been measured at 127 s for the probe child (init +
 # trivial-op round trip, 2026-08-19) — 300 s produced a false STALE on a
 # slow day; a dead tunnel costs one bounded 10-min wait per round instead
 PROBE_TIMEOUT_S = int(os.environ.get("NIRGAN_BENCH_PROBE_TIMEOUT", 600))
-# cooldown before the probe retry: long enough for a wedged device lease
-# (a killed client blocks the next one ~10 min) to expire
-PROBE_COOLDOWN_S = int(os.environ.get("NIRGAN_BENCH_PROBE_COOLDOWN", 300))
+# cooldown before the probe retry: must exceed the wedged-device-lease
+# window (a killed client blocks the next one ~10+ min; a 300 s cooldown
+# cost BENCH_r04 its live capture — probe hung, one short cooldown, hung
+# again inside the same wedge)
+PROBE_COOLDOWN_S = int(os.environ.get("NIRGAN_BENCH_PROBE_COOLDOWN", 600))
 MEASURE_TIMEOUT_S = int(os.environ.get("NIRGAN_BENCH_MEASURE_TIMEOUT", 2400))
 
 
@@ -206,7 +217,7 @@ def _load_last_good() -> "dict | None":
         except Exception:
             pass
     best = None
-    for path in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json"))):
+    for path in sorted(glob.glob(os.path.join(BENCH_SCAN_DIR, "BENCH_r*.json"))):
         try:
             with open(path) as f:
                 rec = json.load(f)

@@ -4,9 +4,15 @@ bench.py's headline batch (128) was picked from a bf16 sweep (b64→b128
 +10%, b192 OOM — RESULTS.md).  The int8 trunk halves the trunk-activation
 footprint, so its memory ceiling sits higher: this sweep checks whether a
 larger batch lifts the int8 side-channel past the b128 number.  OOM at a
-given batch is recorded and the sweep continues.
+given batch is recorded and the sweep continues; FAIL rows are tagged by
+error class (OOM vs tunnel-transfer vs other) and input buffers are
+dropped between attempts so a bf16 OOM can't poison the int8 attempt.
 
-Run on the TPU: python benchmarks/serve_batch_sweep.py [batches...]
+This script has no watchdog of its own: a dead axon tunnel hangs forever
+inside setup_runtime, so run it under an external ``timeout 1200 …`` (the
+bench.py outage pattern uses a subprocess probe for the same reason).
+
+Run on the TPU: timeout 1200 python benchmarks/serve_batch_sweep.py [batches...]
 """
 
 import os
@@ -70,6 +76,16 @@ def main():
         ),
     )
 
+    def error_class(e):
+        msg = str(e)
+        if "RESOURCE_EXHAUSTED" in msg:
+            return "OOM(RESOURCE_EXHAUSTED)"
+        if "INVALID_ARGUMENT" in msg:
+            return "transfer(INVALID_ARGUMENT)"
+        return type(e).__name__
+
+    import gc
+
     print(f"{'batch':>6} {'bf16 t/s':>10} {'int8 t/s':>10}", flush=True)
     for b in batches:
         row = [f"{b:>6}"]
@@ -78,8 +94,13 @@ def main():
                 row.append(f"{timed(f, b, *extra):>10.1f}")
             except Exception as e:  # OOM or transfer failure: record, move on
                 row.append(f"{'FAIL':>10}")
-                print(f"  [{name} b{b}] {type(e).__name__}: {str(e)[:120]}",
+                print(f"  [{name} b{b}] {error_class(e)}: {str(e)[:120]}",
                       file=sys.stderr, flush=True)
+            finally:
+                # free this attempt's device input buffers (held by the
+                # exception frames until collected) so a bf16 OOM leaves no
+                # fragmented allocations behind for the int8 attempt
+                gc.collect()
         print(" ".join(row), flush=True)
 
 

@@ -1,7 +1,10 @@
 """Characterise the axon tunnel's host→device upload failure mode.
 
 Three patterns, same total bytes (N × 12.5 MB f16 batches):
-  A. sequential device_put, device idle (no compute in flight)
+  A. sequential device_put, device idle (no heavy compute in flight; each
+     upload is chained into a tiny checksum so the transferred bytes are
+     actually consumed — a device_put that fails lazily at consumption
+     would otherwise count "ok")
   B. device_put interleaved with an in-flight jitted step (production
      training shape: upload batch k+1 while step k executes)
   C. chunked upload (4 pieces per batch, device-side concat) interleaved
@@ -44,11 +47,18 @@ def main():
             y = jnp.tanh(y @ jnp.swapaxes(y, -1, -2) @ y[..., :3])
         return acc + jnp.sum(y.astype(jnp.float32))
 
+    @jax.jit
+    def consume(x, acc):
+        # cheap full-tensor checksum: validates the transferred bytes
+        # without keeping the device busy (trial A must stay ~idle)
+        return acc + jnp.sum(x.astype(jnp.float32))
+
     def trial(name, interleave, chunks=1):
         ok = fail = 0
         acc = jnp.zeros((), jnp.float32)
         dev = jax.device_put(host[0])
         float(burn(dev, acc))  # compile outside the window
+        float(consume(dev, acc))
         t0 = time.perf_counter()
         for i in range(N):
             if interleave:
@@ -59,6 +69,8 @@ def main():
                 else:
                     parts = np.array_split(host[i % 2], chunks, axis=0)
                     dev = jnp.concatenate([jax.device_put(p) for p in parts])
+                if not interleave:
+                    acc = consume(dev, acc)  # chained; pulled once at the end
                 ok += 1
             except Exception as e:
                 fail += 1
@@ -67,9 +79,11 @@ def main():
                           f"{str(e)[:100]}", file=sys.stderr, flush=True)
                 time.sleep(1.0)
         try:
-            float(acc)
-        except Exception:
-            pass
+            checksum = float(acc)  # surfaces lazily-failed transfers
+            assert np.isfinite(checksum)
+        except Exception as e:
+            print(f"  [{name}] checksum pull failed: {type(e).__name__}: "
+                  f"{str(e)[:100]}", file=sys.stderr, flush=True)
         dt = time.perf_counter() - t0
         print(f"{name:<28} ok={ok:3d} fail={fail:3d}  {dt:6.1f}s", flush=True)
 
@@ -84,10 +98,14 @@ def main():
 
     mesh = create_mesh(("data",))
     s = batch_sharding(mesh, "data")
+    s_rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
 
     def trial_sharded(name, two_stage):
         ok = fail = 0
-        acc = jnp.zeros((), jnp.float32)
+        # acc committed-replicated on the same mesh as dev: mixing a
+        # committed-sharded array with an uncommitted scalar in one jitted
+        # call falls off the tunnel's fast dispatch path (RESULTS.md r4)
+        acc = jax.device_put(jnp.zeros((), jnp.float32), s_rep)
         dev = jax.device_put(host[0], s)
         float(burn(dev, acc))
         t0 = time.perf_counter()

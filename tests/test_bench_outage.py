@@ -93,13 +93,24 @@ def test_success_passes_through_and_persists(bench, monkeypatch, capsys):
 
 
 def test_fallback_scans_bench_records_when_no_last_good(bench, monkeypatch,
-                                                        capsys):
-    os.remove(bench.LAST_GOOD)  # force the BENCH_r*.json scan (real repo files)
+                                                        capsys, tmp_path):
+    # synthesized records in a tmpdir — the scan must NOT read the live repo
+    # (each round's driver drops a new BENCH_r*.json, which used to change
+    # this test's answer every round)
+    scan = tmp_path / "records"
+    scan.mkdir()
+    (scan / "BENCH_r01.json").write_text(json.dumps(
+        {"parsed": {"value": 280.0, "vs_baseline": 0.60}}))
+    (scan / "BENCH_r02.json").write_text(json.dumps(
+        {"parsed": {"value": 291.7, "vs_baseline": 0.622}}))
+    (scan / "BENCH_r03.json").write_text(json.dumps({"parsed": None}))
+    monkeypatch.setattr(bench, "BENCH_SCAN_DIR", str(scan))
+    os.remove(bench.LAST_GOOD)  # force the BENCH_r*.json scan
     _stub_children(monkeypatch, bench, {"--_probe": (-1, "")})
     assert bench.main() == 0
     rec = _last_json_line(capsys)
     assert rec["stale"] is True
-    assert rec["value"] == 291.7  # BENCH_r02 parsed value; r03 is null
+    assert rec["value"] == 291.7  # latest record with a parsed value wins
     assert rec["last_good"]["source"] == "BENCH_r02.json"
 
 

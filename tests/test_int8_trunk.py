@@ -396,4 +396,7 @@ def test_int8_trained_weights_quality(tmp_path):
         "max_abs_delta": round(float(np.max(np.abs(
             preds["int8"] - preds["none"]))), 6),
     })
-    assert psnr > 36.0
+    # measured 49.7 dB on trained weights (parity_report.json); guard at
+    # measured−6 so a silent quantisation regression can't hide under the
+    # generic 36 dB serving bar
+    assert psnr > 43.0
