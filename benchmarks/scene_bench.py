@@ -12,6 +12,8 @@ Two numbers per mode (bf16 / int8 trunk):
     would see from the device side.
 
 Run on the TPU: python benchmarks/scene_bench.py
+Host-side cut/blend A/B (no TPU; C++ threads vs numpy loops):
+    python benchmarks/scene_bench.py --host-ab
 """
 
 import os
@@ -19,6 +21,62 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def host_ab():
+    """Host-only share of the scene pipeline: window cutting + plateau
+    blending over a 4096² scene, native (tileio.cc threads) vs the numpy
+    loops they replaced.  Forces CPU jax config so it never touches the
+    tunnel (CLAUDE.md: platform probes block when the tunnel is down)."""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import numpy as np
+
+    from nirgan_tpu.data import native_loader
+    from nirgan_tpu.inference.scene import plateau_weight, tile_origins
+
+    rng = np.random.default_rng(0)
+    TILE, OV, BS = 512, 32, 8
+    H = 4096
+    scene = rng.integers(0, 10000, size=(3, H, H)).astype(np.uint16)
+    pad = np.ascontiguousarray(np.pad(scene, ((0, 0), (OV, OV), (OV, OV)),
+                                      mode="reflect"))
+    S = TILE - 2 * OV
+    ys = tile_origins(pad.shape[1], TILE, S)
+    wins = np.asarray([(y, x) for y in ys for x in ys], np.int32)
+    preds = rng.random((BS, TILE, TILE)).astype(np.float32)
+    w1 = plateau_weight(TILE, OV)
+    w2d = np.outer(w1, w1)
+
+    for native in (True, False) if native_loader.available() else (False,):
+        num = np.zeros(pad.shape[1:], np.float32)
+        den = np.zeros(pad.shape[1:], np.float32)
+        t_cut = t_blend = 0.0
+        for i in range(0, len(wins), BS):
+            bw = wins[i:i + BS]
+            t0 = time.perf_counter()
+            if native:
+                tiles = native_loader.scene_cut(pad, bw, TILE)
+            else:
+                # materialise the NHWC copy — the real pipeline pays it at
+                # jnp.asarray (np.transpose alone is a lazy view)
+                tiles = np.ascontiguousarray(np.transpose(
+                    np.stack([pad[:, y:y + TILE, x:x + TILE]
+                              for y, x in bw]), (0, 2, 3, 1)))
+            t_cut += time.perf_counter() - t0
+            p = preds[:len(bw)]
+            t0 = time.perf_counter()
+            if native:
+                native_loader.scene_blend(num, den, p, bw, TILE, w1)
+            else:
+                for pr, (y, x) in zip(p, bw):
+                    num[y:y + TILE, x:x + TILE] += pr * w2d
+                    den[y:y + TILE, x:x + TILE] += w2d
+            t_blend += time.perf_counter() - t0
+            _ = tiles
+        n = len(wins)
+        print(f"native={str(native):5s} cut {t_cut / n * 1e3:6.2f} ms/win  "
+              f"blend {t_blend / n * 1e3:6.2f} ms/win  "
+              f"host-only {n / (t_cut + t_blend):6.1f} win/s", flush=True)
 
 
 def main():
@@ -90,4 +148,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--host-ab" in sys.argv:
+        host_ab()
+    else:
+        main()

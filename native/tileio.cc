@@ -615,6 +615,110 @@ int tileio_next(void* handle, float* out, int out_capacity, int* channels) {
   return t.index;
 }
 
+}  // extern "C" — the template below needs C++ linkage; reopened after
+
+// ---------------------------------------------------------------------------
+// Whole-scene serving helpers (inference/scene.py): window cutting and
+// plateau blending are single-threaded numpy host work that throttles the
+// sliding-window pipeline on small hosts (scene e2e measured 10.4 win/s vs
+// ~212 win/s compute-side, benchmarks/RESULTS.md round 4).  Both are pure
+// memory ops — threads, no Python.
+
+// Cut n tile²-windows out of a CHW scene into an NHWC batch buffer.
+// pad: (C, Hp, Wp) row-major, itemsize ∈ {1, 2, 4} (u8/u16 DN or f32).
+// wins: interleaved (y, x) origins.  out: (n, tile, tile, C), same dtype.
+template <typename T>
+static void scene_cut_typed(const T* pad, int C, int Hp, int Wp,
+                            const int* wins, int n, int tile, T* out,
+                            int n_threads) {
+  (void)Hp;
+  std::atomic<int> next{0};
+  auto work = [&] {
+    for (int b = next.fetch_add(1); b < n; b = next.fetch_add(1)) {
+      const int y = wins[2 * b], x = wins[2 * b + 1];
+      T* dst = out + size_t(b) * tile * tile * C;
+      if (C == 3) {  // sequential writes, 3 sequential read streams
+        for (int i = 0; i < tile; ++i) {
+          const T* s0 = pad + (size_t(0) * Hp + (y + i)) * Wp + x;
+          const T* s1 = pad + (size_t(1) * Hp + (y + i)) * Wp + x;
+          const T* s2 = pad + (size_t(2) * Hp + (y + i)) * Wp + x;
+          T* d = dst + size_t(i) * tile * 3;
+          for (int j = 0; j < tile; ++j) {
+            d[3 * j] = s0[j];
+            d[3 * j + 1] = s1[j];
+            d[3 * j + 2] = s2[j];
+          }
+        }
+      } else {
+        for (int i = 0; i < tile; ++i) {
+          for (int c = 0; c < C; ++c) {
+            const T* src = pad + (size_t(c) * Hp + (y + i)) * Wp + x;
+            T* d = dst + (size_t(i) * tile) * C + c;
+            for (int j = 0; j < tile; ++j) d[size_t(j) * C] = src[j];
+          }
+        }
+      }
+    }
+  };
+  std::vector<std::thread> ts;
+  for (int t = 1; t < n_threads; ++t) ts.emplace_back(work);
+  work();
+  for (auto& t : ts) t.join();
+}
+
+extern "C" void tileio_scene_cut(const void* pad, int C, int Hp, int Wp,
+                                 const int* wins, int n, int tile, void* out,
+                                 int itemsize, int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  if (itemsize == 4)
+    scene_cut_typed(static_cast<const float*>(pad), C, Hp, Wp, wins, n, tile,
+                    static_cast<float*>(out), n_threads);
+  else if (itemsize == 2)
+    scene_cut_typed(static_cast<const uint16_t*>(pad), C, Hp, Wp, wins, n,
+                    tile, static_cast<uint16_t*>(out), n_threads);
+  else
+    scene_cut_typed(static_cast<const uint8_t*>(pad), C, Hp, Wp, wins, n,
+                    tile, static_cast<uint8_t*>(out), n_threads);
+}
+
+// Accumulate n predicted windows into the (Hp, Wp) num/den planes with the
+// separable plateau weight w1d (tile floats).  Row-stripe parallelism: each
+// thread owns a contiguous band of OUTPUT rows and scans every window, so
+// overlapping windows never race.
+extern "C" void tileio_scene_blend(float* num, float* den, int Hp, int Wp,
+                                   const float* preds, const int* wins, int n,
+                                   int tile, const float* w1d, int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int> next{0};
+  const int band = (Hp + n_threads - 1) / n_threads;
+  auto work = [&] {
+    for (int t = next.fetch_add(1); t * band < Hp; t = next.fetch_add(1)) {
+      const int r0 = t * band, r1 = std::min(Hp, r0 + band);
+      for (int b = 0; b < n; ++b) {
+        const int y = wins[2 * b], x = wins[2 * b + 1];
+        const int i0 = std::max(y, r0), i1 = std::min(y + tile, r1);
+        for (int i = i0; i < i1; ++i) {
+          const float wy = w1d[i - y];
+          const float* p = preds + (size_t(b) * tile + (i - y)) * tile;
+          float* nrow = num + size_t(i) * Wp + x;
+          float* drow = den + size_t(i) * Wp + x;
+          for (int j = 0; j < tile; ++j) {
+            const float w = wy * w1d[j];
+            nrow[j] += p[j] * w;
+            drow[j] += w;
+          }
+        }
+      }
+    }
+  };
+  std::vector<std::thread> ts;
+  for (int t = 1; t < n_threads; ++t) ts.emplace_back(work);
+  work();
+  for (auto& t : ts) t.join();
+}
+
+extern "C" {
+
 void tileio_destroy(void* handle) {
   auto* p = static_cast<Pipeline*>(handle);
   {

@@ -18,7 +18,8 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-__all__ = ["available", "NativeTileReader", "NativeNpyDataset"]
+__all__ = ["available", "NativeTileReader", "NativeNpyDataset",
+           "scene_cut", "scene_blend"]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(os.path.dirname(os.path.dirname(_HERE)), "native", "tileio.cc")
@@ -58,6 +59,17 @@ def _load_lib():
                 ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
                 ctypes.POINTER(ctypes.c_int)]
             lib.tileio_destroy.argtypes = [ctypes.c_void_p]
+            lib.tileio_scene_cut.restype = None
+            lib.tileio_scene_cut.argtypes = [
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int), ctypes.c_int, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
+            lib.tileio_scene_blend.restype = None
+            lib.tileio_scene_blend.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int), ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int]
             _lib = lib
         except Exception as e:  # no compiler / build error → numpy fallback
             print("native tileio unavailable:", e)
@@ -67,6 +79,54 @@ def _load_lib():
 
 def available() -> bool:
     return _load_lib() is not None
+
+
+def _n_threads() -> int:
+    return max(1, min(8, os.cpu_count() or 1))
+
+
+def scene_cut(pad: np.ndarray, wins: np.ndarray, tile: int) -> np.ndarray:
+    """Cut windows out of a CHW scene into an NHWC batch with C++ threads.
+
+    ``pad``: (C, Hp, Wp) contiguous u8/u16/f32; ``wins``: (n, 2) int32 (y, x)
+    origins.  Returns (n, tile, tile, C) in pad's dtype — equivalent to
+    ``np.stack([pad[:, y:y+t, x:x+t] for y, x in wins]).transpose(0,2,3,1)``
+    (the single-threaded numpy loop in ``inference/scene.py make_batch``)."""
+    lib = _load_lib()
+    assert lib is not None
+    pad = np.ascontiguousarray(pad)
+    assert pad.dtype.itemsize in (1, 2, 4), pad.dtype
+    wins = np.ascontiguousarray(wins, np.int32)
+    n = wins.shape[0]
+    out = np.empty((n, tile, tile, pad.shape[0]), pad.dtype)
+    lib.tileio_scene_cut(
+        pad.ctypes.data_as(ctypes.c_void_p), pad.shape[0], pad.shape[1],
+        pad.shape[2], wins.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), n,
+        tile, out.ctypes.data_as(ctypes.c_void_p), pad.dtype.itemsize,
+        _n_threads())
+    return out
+
+
+def scene_blend(num: np.ndarray, den: np.ndarray, preds: np.ndarray,
+                wins: np.ndarray, tile: int, w1d: np.ndarray) -> None:
+    """Accumulate predicted windows into the (Hp, Wp) num/den planes with
+    the separable plateau weight, row-stripe threaded (no races on
+    overlapping windows).  In-place equivalent of the ``flush`` loop in
+    ``inference/scene.py``: ``num[y:y+t, x:x+t] += p * outer(w, w)``."""
+    lib = _load_lib()
+    assert lib is not None
+    assert num.flags.c_contiguous and den.flags.c_contiguous
+    assert num.dtype == den.dtype == np.float32
+    preds = np.ascontiguousarray(preds, np.float32)
+    wins = np.ascontiguousarray(wins, np.int32)
+    w1d = np.ascontiguousarray(w1d, np.float32)
+    assert w1d.shape == (tile,)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.tileio_scene_blend(
+        num.ctypes.data_as(f32p), den.ctypes.data_as(f32p),
+        num.shape[0], num.shape[1], preds.ctypes.data_as(f32p),
+        wins.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), wins.shape[0],
+        tile, w1d.ctypes.data_as(f32p), _n_threads())
 
 
 class NativeTileReader:

@@ -33,7 +33,11 @@ from nirgan_tpu.models.layers import (
 )
 from nirgan_tpu.ops import initializers as inits
 from nirgan_tpu.ops.blocked_stem import conv_valid_blocked, stem_downsample_blocked
-from nirgan_tpu.ops.reflect_conv import conv2d_reflect, conv_valid_blocked_reflect
+from nirgan_tpu.ops.reflect_conv import (
+    conv2d_reflect,
+    conv_valid_blocked_reflect,
+    stem_downsample_blocked_reflect,
+)
 from nirgan_tpu.ops.pad import reflect_pad2d
 from nirgan_tpu.ops.resize import resize_bilinear
 
@@ -167,10 +171,26 @@ class ResnetGenerator(nn.Module):
     # exact, and removes the dominant relayout/fusion-barrier cost
     # (benchmarks/padfold_ab.py).  Flag kept for A/B.
     reflect_fold: bool = True
+    # Fold the INPUT pads (the task-level reflect-pad-10 and the stem's
+    # reflect-pad-3) into the blocked stem conv via composed-reflect border
+    # strips (ops/reflect_conv.py stem_downsample_blocked_reflect).  Exact
+    # and fully tested, but MEASURED NEUTRAL-TO-SLIGHTLY-SLOWER in the real
+    # graphs (benchmarks/stemfold_ab.py, two runs: serve b128@512² 445.0 vs
+    # 443.3 ms, train G fwd+bwd b32@256² 109.0 vs 108.1 ms) — the explicit
+    # 3-channel input pads are cheap at these layouts, unlike the trunk/head
+    # pads the train-gated fold removes.  Default OFF; kept as the measured
+    # close of the input-pad line.
+    fold_input_pads: bool = False
 
     @nn.compact
     def __call__(self, x, embeds: Optional[jnp.ndarray] = None, train: bool = False,
-                 trunk_q=None):
+                 trunk_q=None, outer_pad: int = 0):
+        """``outer_pad > 0`` means ``x`` is the RAW (unpadded) input and the
+        task-level reflect pad (``model/pix2pix.py:91-93``) is folded into
+        the blocked stem together with the stem's own reflect-pad-3 —
+        the output equals ``self(reflect_pad2d(x, outer_pad), …)`` exactly.
+        When the blocked-stem fold can't take the fold (odd sizes, batch
+        norm, flag off), the pad is applied explicitly here instead."""
         assert self.n_blocks >= 0
         if trunk_q is not None and (train or self.norm_type != "instance"):
             raise ValueError("int8 trunk is a serving-only path and requires "
@@ -186,9 +206,13 @@ class ResnetGenerator(nn.Module):
         use_blocked = (
             self.blocked_stem
             and self.norm_type == "instance"
-            and x.shape[1] % 2 == 0
-            and x.shape[2] % 2 == 0
+            and (x.shape[1] + 2 * outer_pad) % 2 == 0
+            and (x.shape[2] + 2 * outer_pad) % 2 == 0
         )
+        fold_stem = self.reflect_fold and self.fold_input_pads
+        if outer_pad and not (use_blocked and fold_stem):
+            x = reflect_pad2d(x, outer_pad)
+            outer_pad = 0
         if use_blocked:
             # stem 7×7 conv → IN → ReLU → d0 conv, all in blocked layout;
             # the full-res ngf-channel tensor is never materialised.
@@ -196,7 +220,19 @@ class ResnetGenerator(nn.Module):
             # param-only call: only the trailing (channel) dim of the dummy
             # is read, so d0's kernel gets its real Cin=ngf
             k3, b3 = d0(jnp.zeros((1, 1, 1, self.ngf), x.dtype), return_params=True)
-            h = stem_downsample_blocked(_pad(x, "reflect", 3), k7, b7, k3, b3)
+            # the stem pad is unconditionally reflect in the reference
+            # (networks.py:341) — padding_type only switches the trunk
+            if fold_stem:
+                # opt-in: fold the stem's reflect-pad-3 — and, when
+                # outer_pad is set, the task's reflect-pad-10 — into the
+                # blocked conv (zero-SAME + exact composed border strips,
+                # ops/reflect_conv.py).  Measured neutral-to-slightly-
+                # slower in the real graphs (see fold_input_pads above).
+                h = stem_downsample_blocked_reflect(x, k7, b7, k3, b3,
+                                                    outer=outer_pad)
+            else:
+                h = stem_downsample_blocked(_pad(x, "reflect", 3),
+                                            k7, b7, k3, b3)
         else:
             # stem: reflect-pad 3 + 7×7 conv (train-only fold, see
             # ResnetBlock.reflect_fold)

@@ -147,6 +147,75 @@ def instance_norm_blocked(x, eps: float = 1e-5):
     return (x - mb) * sb
 
 
+def _disc_stem_kernel(k4):
+    """(4,4,Cin,Cout) stride-2/pad-1 kernel → (6,6,Cin,4·Cout) stride-4
+    kernel emitting the 2×2 space-to-depth of the stride-2 output
+    (parity-major): Wb[j,·,c,(p,·,co)] = k4[j−2p,·,c,co], j−2p ∈ [0,4)."""
+    return jnp.concatenate(
+        [
+            jnp.pad(k4, ((2 * py, 2 - 2 * py), (2 * px, 2 - 2 * px),
+                         (0, 0), (0, 0)))
+            for py in range(2)
+            for px in range(2)
+        ],
+        axis=-1,
+    )
+
+
+def _disc_down_kernel(k4):
+    """(4,4,Cin,Cout) stride-2/pad-1 kernel → (3,3,4·Cin,Cout) stride-1
+    kernel consuming parity-major blocked input with padding ((1,1),(1,1)).
+
+    out[i] = Σ_{dy∈[0,4)} in_full[2i+dy−1]·w[dy]; 2i+dy−1 = 2(i+By)+qy with
+    By∈{−1,0,1} ⇒ tap KY=By+1 carries w[2KY+qy−2] (zero outside [0,4))."""
+    cin, cout = k4.shape[2], k4.shape[3]
+    kp = jnp.pad(k4, ((1, 1), (1, 1), (0, 0), (0, 0)))  # index dy+1 ∈ [0,6)
+    kq = jnp.arange(3)[:, None] * 2 + jnp.arange(2)[None, :]  # (KY,qy) → dy+1
+    wb = kp[kq][:, :, kq]  # (KY,qy, KX,qx, Cin, Cout)
+    wb = wb.transpose(0, 2, 1, 3, 4, 5)  # (KY,KX, qy,qx,Cin, Cout)
+    return wb.reshape(3, 3, 4 * cin, cout)
+
+
+def disc_stem_blocked(x, k1, b1, k2, b2, slope: float = 0.2):
+    """Fused-layout first two PatchGAN layers:
+    ``4×4/s2 conv → LeakyReLU → 4×4/s2 conv`` (NLayerDiscriminator,
+    reference ``model/networks.py:557-565``), without materialising the
+    full-resolution ndf-channel tensor.
+
+    The first conv is channel-starved (Cin 4-5 of 128 contraction lanes —
+    the same MXU-underfeeding pathology the generator stem had; D-fwd
+    measured at 27.7% of peak, benchmarks/train_ceiling_256.py row C).
+    Here it runs as a single stride-4 conv with the shifted-copies 6×6
+    kernel whose output IS the 2×2 space-to-depth of the stride-2 output;
+    the second conv consumes the blocked layout directly (3×3 stride-1,
+    Cin 4·ndf) and emits the standard (B, H/4, W/4, 2·ndf) tensor.
+    LeakyReLU is elementwise, hence blocking-invariant.
+
+    Args:
+        x: (B, H, W, Cin) raw discriminator input, H ≡ W ≡ 0 (mod 4).
+        k1, b1: conv0 (4,4,Cin,ndf) + bias; k2, b2: conv1 (4,4,ndf,2·ndf).
+    Returns (B, H/4, W/4, 2·ndf): conv1 output *before* its norm —
+    numerically identical (up to reassociation) to the unblocked chain.
+    """
+    dt = x.dtype
+    y1 = lax.conv_general_dilated(
+        x, _disc_stem_kernel(k1.astype(dt)),
+        window_strides=(4, 4), padding=((1, 1), (1, 1)),
+        dimension_numbers=_DIMSPEC,
+    )
+    if b1 is not None:
+        y1 = y1 + jnp.tile(b1, 4).astype(y1.dtype)
+    y1 = jnp.where(y1 >= 0, y1, slope * y1)
+    y2 = lax.conv_general_dilated(
+        y1, _disc_down_kernel(k2.astype(dt)),
+        window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=_DIMSPEC,
+    )
+    if b2 is not None:
+        y2 = y2 + b2.astype(y2.dtype)
+    return y2
+
+
 def stem_downsample_blocked(x_padded, k7, b7, k3, b3, eps: float = 1e-5):
     """Fused-layout `7×7 stem conv → IN → ReLU → 3×3 stride-2 d0 conv`.
 

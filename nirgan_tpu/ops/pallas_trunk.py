@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["conv3x3_pallas"]
+__all__ = ["conv3x3_pallas", "conv3x3_reflect_pallas"]
 
 WSL = 136  # aligned working width (133 real cols + 3 junk)
 
@@ -122,3 +122,134 @@ def conv3x3_pallas(x_padded, w, rh: int = 19):
             bytes_accessed=x_padded.size * x_padded.dtype.itemsize * 4,
             transcendentals=0),
     )(x_padded, w)
+
+
+# ---------------------------------------------------------------------------
+# v2 (round 5): in-kernel-reflect 3×3 conv — the VERDICT r4 directive.
+#
+# The v1 kernel floored at 63-65% of peak because every grid step paid a
+# forced vector load of the whole band plus three in-register dx-shift
+# relayouts (the "value slices after a forced load" workaround for Mosaic's
+# aligned-memref-slice rule).  v2 removes both: the three dx-shifted views
+# are DMA'd as THREE separate windows — the DMA engine applies the column
+# offset during the HBM→VMEM copy, so the kernel sees three aligned buffers
+# and runs nine aligned (rh·WSL, C)×(C, C) MXU dots with zero relayouts.
+# The reflect boundary (pad=1) is handled in-kernel: edge tiles DMA one row
+# less and mirror the halo row from VMEM; the two mirror columns are fixed
+# by 1-column DMAs from HBM.  No padded tensor ever exists.
+#
+# Reference pattern: model/networks.py:406 (ReflectionPad2d(1) → Conv2d 3×3
+# inside ResnetBlock), 18× per serving forward.
+
+
+def _v2_kernel(x_hbm, w_ref, out_ref, winL, winC, winR, sems, *, rh: int,
+               wreal: int, n_tiles: int):
+    """Grid (B, H/rh).  x_hbm: (B, H, WB, C) raw (cols [0, wreal) real).
+    Output rows [i·rh, i·rh+rh); taps for output row r, col j:
+      winC[r−r0+dy][j] = x[r+dy−1, j]      (dx=0)
+      winL[r−r0+dy][j] = x[r+dy−1, j−1]    (dx=−1; col −1 mirrored to 1)
+      winR[r−r0+dy][j] = x[r+dy−1, j+1]    (dx=+1; col wreal mirrored)
+    with row −1 mirrored to 1 and row H to H−2 (reflect-pad semantics)."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    h = x_hbm.shape[1]
+    r0 = i * rh
+
+    def copy(dst, rows_dst, src_cols, cols_dst, rows_src, n_rows, cw):
+        return pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(rows_src, n_rows), pl.ds(src_cols, cw)],
+            dst.at[pl.ds(rows_dst, n_rows), pl.ds(cols_dst, cw)],
+            sems.at[0])
+
+    interior = jnp.logical_and(i > 0, i < n_tiles - 1)
+    w = wreal
+
+    # main windows + 1-col mirror strips; edge tiles shorten the row range
+    # and mirror the halo row afterwards (VMEM row copy)
+    def issue(rows_src, rows_dst, n_rows):
+        dmas = [
+            copy(winC, rows_dst, 0, 0, rows_src, n_rows, w),
+            copy(winL, rows_dst, 0, 1, rows_src, n_rows, w - 1),
+            copy(winR, rows_dst, 1, 0, rows_src, n_rows, w - 1),
+            copy(winL, rows_dst, 1, 0, rows_src, n_rows, 1),
+            copy(winR, rows_dst, w - 2, w - 1, rows_src, n_rows, 1),
+        ]
+        for d in dmas:
+            d.start()
+        for d in dmas:
+            d.wait()
+
+    @pl.when(interior)
+    def _():
+        issue(r0 - 1, 0, rh + 2)
+
+    @pl.when(i == 0)
+    def _():
+        issue(0, 1, rh + 1)
+        for buf in (winL, winC, winR):
+            c = pltpu.make_async_copy(buf.at[pl.ds(2, 1)],
+                                      buf.at[pl.ds(0, 1)], sems.at[1])
+            c.start()
+            c.wait()
+
+    @pl.when(jnp.logical_and(i == n_tiles - 1, i > 0))
+    def _():
+        issue(r0 - 1, 0, rh + 1)
+        for buf in (winL, winC, winR):
+            c = pltpu.make_async_copy(buf.at[pl.ds(rh - 1, 1)],
+                                      buf.at[pl.ds(rh + 1, 1)], sems.at[1])
+            c.start()
+            c.wait()
+
+    wb = out_ref.shape[2]
+    c = out_ref.shape[3]
+    acc = jnp.zeros((rh * wb, c), jnp.float32)
+    for dy in range(3):
+        for win, dx in ((winL, 0), (winC, 1), (winR, 2)):
+            xs = win[pl.ds(dy, rh)].reshape(rh * wb, c)
+            acc += jax.lax.dot_general(
+                xs, w_ref[dy, dx],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    out_ref[...] = acc.reshape(rh, wb, c).astype(out_ref.dtype)[None]
+
+
+@functools.partial(jax.jit, static_argnames=("rh", "wreal"))
+def conv3x3_reflect_pallas(x, w, rh: int = 19, wreal: int = 133):
+    """``conv2d(reflect_pad2d(x[:, :, :wreal], 1), w)`` with the reflect
+    boundary handled in-kernel — no padded tensor, no relayouts.
+
+    x: (B, H, WB, C) bf16 NHWC with real data in cols [0, wreal); WB must be
+    8-aligned and ≥ wreal (trailing cols are junk in AND junk out).  Returns
+    (B, H, WB, C): cols [0, wreal) equal the reflect conv, the rest junk.
+    ``rh`` must divide H (133 = 7·19)."""
+    b, h, wb, c = x.shape
+    assert h % rh == 0, (h, rh)
+    assert wb % 8 == 0 and wb >= wreal >= 8, (wb, wreal)
+    n_tiles = h // rh
+    assert n_tiles >= 2, "edge mirroring needs >= 2 row tiles"
+    kernel = functools.partial(_v2_kernel, rh=rh, wreal=wreal,
+                               n_tiles=n_tiles)
+    flops = 2 * b * h * wreal * 9 * c * c
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # x in HBM, DMA'd
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # weights resident
+        ],
+        out_specs=pl.BlockSpec(
+            (1, rh, wb, c), lambda bb, ii: (bb, ii, 0, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, wb, c), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((rh + 2, wb, c), x.dtype),
+            pltpu.VMEM((rh + 2, wb, c), x.dtype),
+            pltpu.VMEM((rh + 2, wb, c), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=x.size * x.dtype.itemsize * 4,
+            transcendentals=0),
+    )(x, w)

@@ -113,6 +113,83 @@ def _blocked_strips(xs, k, f: int, p: int, kh: int):
             space_to_depth(left, f), space_to_depth(right, f))
 
 
+def stem_downsample_blocked_reflect(x, k7, b7, k3, b3, eps: float = 1e-5,
+                                    outer: int = 0):
+    """``stem_downsample_blocked(reflect_pad2d(reflect_pad2d(x, outer), 3),
+    …)`` without ever materialising either padded tensor.
+
+    The explicit reflect pads of the big 3-channel stem input are the two
+    remaining big pads in the serving forward: the stem's own pad-3 is
+    ~11 ms of the 124 ms 532² b32 forward (the zero-trunk → zero-all gap
+    in benchmarks/padfold_ab.py — the zero-pad variant is free because
+    XLA folds a zero Pad into the conv's window padding), and the task's
+    edge-artifact pad-10 (reference ``model/pix2pix.py:91-93``) is the
+    same relayout again, unmeasured by padfold_ab because it sits above
+    the generator.  Here the blocked stem conv runs with implicit zero
+    padding P = outer + 3 (full speed) and the ``nt = ceil(P/2)``-grid-row
+    border strips are recomputed exactly from slim bands gathered through
+    the COMPOSED reflect index maps (``ops.pad.composed_reflect_idx`` —
+    reflect∘reflect ≠ one deeper reflect, so the composition is applied
+    index-wise, never as a tensor).
+
+    Reference pattern: ``model/networks.py:341-345`` (ReflectionPad2d(3) →
+    Conv2d(7×7) → norm → ReLU) + ``:351-358`` (stride-2 downsample conv),
+    under the task-level reflect-pad (``model/pix2pix.py:91-108``).
+    """
+    from nirgan_tpu.ops.blocked_stem import (
+        _blocked_down_kernel,
+        instance_norm_blocked,
+        stem_downsample_blocked,
+    )
+    from nirgan_tpu.ops.pad import composed_reflect_idx
+
+    f, kh = 2, k7.shape[0]
+    p_in = (kh - 1) // 2
+    pads = (outer, p_in)
+    P = outer + p_in
+    b, h, w, _ = x.shape
+    assert (h + 2 * outer) % f == 0 and (w + 2 * outer) % f == 0, (h, w, outer)
+    nt = -(-P // f)
+    band = f * (nt - 1) + kh + f - 1  # padded rows feeding the edge strips
+    if h + 2 * P < 2 * band or w + 2 * P < 2 * band or P >= min(h, w):
+        return stem_downsample_blocked(
+            reflect_pad2d(reflect_pad2d(x, outer), p_in), k7, b7, k3, b3,
+            eps=eps)
+
+    dt = x.dtype
+    w_str = _strided_blocked_kernel(k7.astype(dt), f)
+    hb = lax.conv_general_dilated(
+        x, w_str, (f, f), ((P, P), (P, P)), dimension_numbers=_DIMSPEC)
+
+    # exact border strips from slim composed-reflect bands (gathers touch
+    # ≤ band rows/cols of the raw input; the strided conv emits blocked
+    # grid rows directly, corners included)
+    idx_h = jnp.asarray(composed_reflect_idx(h, pads))
+    idx_w = jnp.asarray(composed_reflect_idx(w, pads))
+
+    def _strip(rows_idx, cols_idx):
+        s = jnp.take(jnp.take(x, rows_idx, axis=1), cols_idx, axis=2)
+        return lax.conv_general_dilated(
+            s, w_str, (f, f), ((0, 0), (0, 0)), dimension_numbers=_DIMSPEC)
+
+    hb = hb.at[:, :nt].set(_strip(idx_h[:band], idx_w))
+    hb = hb.at[:, -nt:].set(_strip(idx_h[-band:], idx_w))
+    hb = hb.at[:, :, :nt].set(_strip(idx_h, idx_w[:band]))
+    hb = hb.at[:, :, -nt:].set(_strip(idx_h, idx_w[-band:]))
+    if b7 is not None:
+        hb = hb + jnp.tile(b7, f * f).astype(hb.dtype)
+    hb = instance_norm_blocked(hb, eps)
+    hb = jnp.maximum(hb, 0)
+    y = lax.conv_general_dilated(
+        hb, _blocked_down_kernel(k3.astype(dt)),
+        window_strides=(1, 1), padding=((1, 0), (1, 0)),
+        dimension_numbers=_DIMSPEC,
+    )
+    if b3 is not None:
+        y = y + b3.astype(y.dtype)
+    return y
+
+
 def conv_valid_blocked_reflect(x, k, bias=None, factor: int = 4):
     """``conv_valid_blocked(reflect_pad2d(x, p), k, bias, factor)`` for a
     (2p+1)×(2p+1) kernel (the generator head: 7×7, p=3) — the reflect pad

@@ -174,7 +174,16 @@ class Px2PxTask:
         """Full apply: returns (pred, new_batch_stats)."""
         x = rgb
         p = self.pad_amount
-        if self.use_padding:
+        # opt-in (generator fold_input_pads=True): resnet generators fold
+        # the task-level reflect pad into the blocked stem (generator.py
+        # outer_pad → ops/reflect_conv.py).  Exact, but measured neutral-
+        # to-slightly-slower in the real graphs (benchmarks/stemfold_ab.py)
+        # so it defaults off; the generator applies the pad itself whenever
+        # the fold can't take it (odd sizes, batch norm)
+        fold_outer = (self.use_padding and p > 0
+                      and getattr(self.netG, "reflect_fold", False)
+                      and getattr(self.netG, "fold_input_pads", False))
+        if self.use_padding and not fold_outer:
             x = reflect_pad2d(x, p)
         variables = {"params": params}
         if self.has_bn and stats:
@@ -183,9 +192,12 @@ class Px2PxTask:
                 if (self.uses_dropout and train and rng is not None) else None)
         args = (x, embeds) if self.satclip and self.satclip_style == "inject" else (x,)
         kw = {"trunk_q": trunk_q} if trunk_q is not None else {}
+        if fold_outer:
+            kw["outer_pad"] = p
         if train and self.has_bn:
             pred, mut = self.netG.apply(variables, *args, train=True,
-                                        mutable=["batch_stats"], rngs=rngs)
+                                        mutable=["batch_stats"], rngs=rngs,
+                                        **kw)
             new_stats = mut["batch_stats"]
         else:
             pred = self.netG.apply(variables, *args, train=train, rngs=rngs, **kw)

@@ -278,3 +278,47 @@ def test_native_reader_decodes_bigtiff(tmp_path):
     for i, p in enumerate(paths):
         ref, _ = read_geotiff(p, dn_scale=10000.0)
         np.testing.assert_allclose(got[i], ref, rtol=0, atol=1e-6)
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.uint16, np.uint8])
+def test_scene_cut_matches_numpy(dtype):
+    """tileio_scene_cut ≡ the numpy window loop of inference/scene.py."""
+    if not native_loader.available():
+        pytest.skip("no C++ toolchain")
+    rng = np.random.default_rng(21)
+    pad = (rng.random((3, 90, 77)) * 200).astype(dtype)
+    tile = 32
+    wins = np.asarray([(0, 0), (58, 45), (17, 3), (58, 0)], np.int32)
+    ref = np.stack([pad[:, y:y + tile, x:x + tile] for y, x in wins])
+    ref = np.transpose(ref, (0, 2, 3, 1))
+    got = native_loader.scene_cut(pad, wins, tile)
+    assert got.dtype == dtype
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_scene_blend_matches_numpy():
+    """tileio_scene_blend ≡ the += plateau blend, incl. overlapping windows
+    (row-stripe threading must not race)."""
+    if not native_loader.available():
+        pytest.skip("no C++ toolchain")
+    from nirgan_tpu.inference.scene import plateau_weight
+
+    rng = np.random.default_rng(22)
+    Hp, Wp, tile = 96, 80, 32
+    w1 = plateau_weight(tile, 8)
+    w2d = np.outer(w1, w1)
+    wins = np.asarray([(y, x) for y in (0, 16, 64) for x in (0, 24, 48)],
+                      np.int32)
+    preds = rng.random((len(wins), tile, tile)).astype(np.float32)
+
+    num_ref = np.zeros((Hp, Wp), np.float32)
+    den_ref = np.zeros((Hp, Wp), np.float32)
+    for p, (y, x) in zip(preds, wins):
+        num_ref[y:y + tile, x:x + tile] += p * w2d
+        den_ref[y:y + tile, x:x + tile] += w2d
+
+    num = np.zeros((Hp, Wp), np.float32)
+    den = np.zeros((Hp, Wp), np.float32)
+    native_loader.scene_blend(num, den, preds, wins, tile, w1)
+    np.testing.assert_allclose(num, num_ref, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(den, den_ref, rtol=0, atol=1e-6)

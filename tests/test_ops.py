@@ -159,6 +159,76 @@ def test_blocked_stem_gradients_match():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("hw", [(32, 48), (64, 64)])
+def test_disc_stem_blocked_matches_unblocked_chain(hw):
+    """ops/blocked_stem.py disc_stem_blocked: the space-to-depth first two
+    PatchGAN layers (conv 4×4/s2 → LeakyReLU → conv 4×4/s2) equal the
+    unblocked chain, forward and backward."""
+    from nirgan_tpu.ops.blocked_stem import disc_stem_blocked
+    from nirgan_tpu.ops.conv import conv2d
+
+    rng = np.random.default_rng(14)
+    h, w = hw
+    x = jnp.asarray(rng.standard_normal((2, h, w, 5)).astype(np.float32))
+    k1 = jnp.asarray(rng.standard_normal((4, 4, 5, 8)).astype(np.float32)) * 0.1
+    b1 = jnp.asarray(rng.standard_normal((8,)).astype(np.float32)) * 0.1
+    k2 = jnp.asarray(rng.standard_normal((4, 4, 8, 16)).astype(np.float32)) * 0.1
+    b2 = jnp.asarray(rng.standard_normal((16,)).astype(np.float32)) * 0.1
+
+    def chain(x, k1, k2):
+        y = conv2d(x, k1, b1, stride=2, padding=1)
+        y = jnp.where(y >= 0, y, 0.2 * y)
+        return conv2d(y, k2, b2, stride=2, padding=1)
+
+    ref = chain(x, k1, k2)
+    got = disc_stem_blocked(x, k1, b1, k2, b2)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               rtol=2e-5, atol=2e-5)
+
+    g_ref = jax.grad(lambda *a: jnp.sum(jnp.square(chain(*a))),
+                     argnums=(0, 1, 2))(x, k1, k2)
+    g_blk = jax.grad(
+        lambda x, k1, k2: jnp.sum(jnp.square(disc_stem_blocked(x, k1, b1,
+                                                               k2, b2))),
+        argnums=(0, 1, 2))(x, k1, k2)
+    for a, b in zip(g_ref, g_blk):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_nlayer_discriminator_blocked_equivalence():
+    """NLayerDiscriminator blocked_stem on/off: identical logits and
+    parameter gradients (same param tree — checkpoint-compatible)."""
+    from nirgan_tpu.models.discriminator import NLayerDiscriminator
+
+    rng = np.random.default_rng(15)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 4)).astype(np.float32))
+    m_blk = NLayerDiscriminator(input_nc=4, ndf=8, blocked_stem=True)
+    m_ref = NLayerDiscriminator(input_nc=4, ndf=8)  # default: plain chain
+    params = m_ref.init(jax.random.PRNGKey(0), x[:1])
+    assert jax.tree_util.tree_structure(
+        m_blk.init(jax.random.PRNGKey(0), x[:1])) == \
+        jax.tree_util.tree_structure(params)
+    y_ref = m_ref.apply(params, x)
+    y_blk = m_blk.apply(params, x)
+    np.testing.assert_allclose(np.asarray(y_blk), np.asarray(y_ref),
+                               rtol=0, atol=2e-5)
+
+    ct = jnp.asarray(rng.standard_normal(y_ref.shape).astype(np.float32))
+    g_ref = jax.grad(lambda p: jnp.sum(m_ref.apply(p, x) * ct))(params)
+    g_blk = jax.grad(lambda p: jnp.sum(m_blk.apply(p, x) * ct))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_blk),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+    # odd spatial size: auto-fallback to the plain chain
+    x_odd = jnp.asarray(rng.standard_normal((1, 30, 30, 4)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(m_blk.apply(params, x_odd)),
+                               np.asarray(m_ref.apply(params, x_odd)),
+                               rtol=0, atol=2e-5)
+
+
 @pytest.mark.parametrize("factor,hw,cin,cout", [(4, (24, 32), 8, 1), (2, (18, 26), 8, 3), (4, (276, 276), 4, 1)])
 def test_conv_valid_blocked_matches_conv2d(factor, hw, cin, cout):
     """ops/blocked_stem.py conv_valid_blocked: the space-to-depth head conv

@@ -59,6 +59,78 @@ def test_blocked_reflect_exact(h, w, f):
                                rtol=0, atol=2e-5)
 
 
+@pytest.mark.parametrize("h,w,kh,outer", [
+    (40, 40, 7, 0), (66, 70, 7, 0), (12, 16, 3, 0), (6, 6, 7, 0),
+    (40, 40, 7, 10),  # the task-level pad-10 composed with the stem pad-3
+    (34, 38, 7, 10),  # rectangular composed
+    (38, 42, 7, 3),   # odd outer pad
+    (12, 12, 7, 10),  # composed fallback (strips would overlap)
+])
+def test_stem_blocked_reflect_exact(h, w, kh, outer):
+    """stem_downsample_blocked_reflect ≡ stem_downsample_blocked on the
+    (composed-)reflect-padded input (incl. too-small fallback shapes).
+    reflect∘reflect ≠ a single deeper reflect, so the outer cases verify
+    the composed index maps."""
+    from nirgan_tpu.ops.blocked_stem import stem_downsample_blocked
+    from nirgan_tpu.ops.reflect_conv import stem_downsample_blocked_reflect
+
+    rng = np.random.default_rng(4)
+    p = (kh - 1) // 2
+    x = jnp.asarray(rng.random((2, h, w, 3), np.float32))
+    k7 = jnp.asarray(rng.random((kh, kh, 3, 8), np.float32) * 0.1)
+    b7 = jnp.asarray(rng.random((8,), np.float32))
+    k3 = jnp.asarray(rng.random((3, 3, 8, 16), np.float32) * 0.1)
+    b3 = jnp.asarray(rng.random((16,), np.float32))
+    ref = stem_downsample_blocked(
+        reflect_pad2d(reflect_pad2d(x, outer), p), k7, b7, k3, b3)
+    got = stem_downsample_blocked_reflect(x, k7, b7, k3, b3, outer=outer)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=2e-5)
+
+
+def test_composed_reflect_idx_matches_jnp():
+    from nirgan_tpu.ops.pad import composed_reflect_idx
+
+    rng = np.random.default_rng(5)
+    v = rng.random(17)
+    for pads in [(3,), (10, 3), (1, 3), (5, 2, 1)]:
+        ref = v
+        for p in pads:
+            ref = np.pad(ref, p, mode="reflect")
+        got = v[composed_reflect_idx(17, pads)]
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_task_outer_pad_fold_matches_explicit():
+    """g_apply with the folded outer pad (opt-in fold_input_pads=True) ≡
+    the default explicit reflect-pad path, for both even and odd
+    (fallback) sizes."""
+    from tests.test_train_step import small_config
+
+    from nirgan_tpu.tasks import Px2PxTask
+
+    cfg = small_config()
+    cfg.Data.padding = True
+    cfg.Data.padding_amount = 4
+    task = Px2PxTask(cfg)
+    task.netG = task.netG.clone(fold_input_pads=True)  # opt-in fold
+    state = task.init_state(seed=0, image_size=32)
+    cfg2 = small_config()
+    cfg2.Data.padding = True
+    cfg2.Data.padding_amount = 4
+    task2 = Px2PxTask(cfg2)  # default: explicit pads
+
+    rng = np.random.default_rng(6)
+    for hw in (32, 31):
+        x = jnp.asarray(rng.random((2, hw, hw, 3), np.float32))
+        a = task.g_apply(state.params_g, x)
+        b = task2.g_apply(state.params_g, x)
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=2e-5)
+
+
 def test_conv2d_reflect_grads_match():
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.random((2, 18, 20, 6), np.float32))
