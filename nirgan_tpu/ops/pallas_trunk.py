@@ -127,16 +127,22 @@ def conv3x3_pallas(x_padded, w, rh: int = 19):
 # ---------------------------------------------------------------------------
 # v2 (round 5): in-kernel-reflect 3×3 conv — the VERDICT r4 directive.
 #
-# The v1 kernel floored at 63-65% of peak because every grid step paid a
-# forced vector load of the whole band plus three in-register dx-shift
-# relayouts (the "value slices after a forced load" workaround for Mosaic's
-# aligned-memref-slice rule).  v2 removes both: the three dx-shifted views
-# are DMA'd as THREE separate windows — the DMA engine applies the column
-# offset during the HBM→VMEM copy, so the kernel sees three aligned buffers
-# and runs nine aligned (rh·WSL, C)×(C, C) MXU dots with zero relayouts.
-# The reflect boundary (pad=1) is handled in-kernel: edge tiles DMA one row
-# less and mirror the halo row from VMEM; the two mirror columns are fixed
-# by 1-column DMAs from HBM.  No padded tensor ever exists.
+# STATUS: CLOSED — blocked by Mosaic's DMA alignment rules on real TPU.
+# The design removes v1's two overheads (forced vector load + three
+# in-register dx-shift relayouts, the 63-65%-of-peak floor) by DMA'ing the
+# three dx-shifted views as three separate windows, letting the DMA engine
+# apply the ±1-column offsets during the HBM→VMEM copy; the reflect
+# boundary (pad=1) is mirrored in-kernel so no padded tensor ever exists.
+# It is CORRECT (interpret-mode test below + tests/test_pallas_kernels.py)
+# but does not compile on hardware: Mosaic requires slices along the
+# second-minor (sublane) dim to be 8-aligned in SIZE ("Slice shape along
+# dimension 2 must be aligned to tiling (8), but is 133") and a follow-up
+# probe with 8-aligned sizes but ±1 offsets also fails — so a DMA cannot
+# express a 1-column shift in ANY memory space, which is the only
+# formulation that avoids v1's in-register relayouts.  Round-3's v1 close
+# therefore stands: XLA's reflect-pad+conv (83-87% of peak in context)
+# remains the production trunk path; this file keeps both kernels as the
+# measured record.
 #
 # Reference pattern: model/networks.py:406 (ReflectionPad2d(1) → Conv2d 3×3
 # inside ResnetBlock), 18× per serving forward.

@@ -191,3 +191,28 @@ def test_convt_pallas_optin_grads_match(monkeypatch):
     for a, b in zip(g_ref, g_pl):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=2e-3)
+
+
+def test_conv3x3_reflect_pallas_v2_interpret():
+    """v2 in-kernel-reflect trunk conv (ops/pallas_trunk.py): exact vs
+    conv2d(reflect_pad2d(x, 1), w) in interpret mode, including all four
+    mirrored edges.  (On real hardware the kernel is CLOSED: Mosaic
+    rejects the ±1-column DMA windows — see the module docstring.)"""
+    import numpy as np
+
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from nirgan_tpu.ops.conv import conv2d
+    from nirgan_tpu.ops.pad import reflect_pad2d
+    from nirgan_tpu.ops.pallas_trunk import conv3x3_reflect_pallas
+
+    rng = np.random.default_rng(7)
+    B, H, W, WB, C = 2, 24, 21, 24, 8
+    x = jnp.asarray(rng.standard_normal((B, H, WB, C)).astype(np.float32))
+    w = jnp.asarray(0.1 * rng.standard_normal((3, 3, C, C)).astype(np.float32))
+    ref = conv2d(reflect_pad2d(x[:, :, :W], 1), w)
+    with pltpu.force_tpu_interpret_mode():
+        got = conv3x3_reflect_pallas(x, w, rh=8, wreal=W)
+    np.testing.assert_allclose(np.asarray(got[:, :, :W]), np.asarray(ref),
+                               rtol=0, atol=1e-4)
