@@ -217,7 +217,54 @@ class Trainer:
                 state = mgr.restore(state, self._resume_which)
                 print(f"Resumed full train state ({self._resume_which}) at "
                       f"step {int(jax.device_get(state.step))}")
+                # PL's full resume restores lr-scheduler state too
+                # (Trainer(resume_from_checkpoint=…), train.py:126); restore
+                # the plateau counters saved next to the checkpoints so a
+                # preempted run doesn't reset its patience window
+                self._load_sched_state(mgr.directory)
         return state
+
+    # plateau-scheduler host state persists next to the checkpoints: a
+    # resume that reset best/num_bad would silently restart the patience
+    # window (PL restores scheduler state on full resume)
+    def _sched_state_path(self, directory=None):
+        return os.path.join(directory or self.logdir, "sched_state.json")
+
+    def _save_sched_state(self):
+        if not self.is_main:
+            return
+        try:
+            import json
+
+            with open(self._sched_state_path(), "w") as f:
+                json.dump({
+                    "g": {"best": self.sched_g.best,
+                          "num_bad_epochs": self.sched_g.num_bad_epochs,
+                          "cooldown_counter": self.sched_g.cooldown_counter},
+                    "d": {"best": self.sched_d.best,
+                          "num_bad_epochs": self.sched_d.num_bad_epochs,
+                          "cooldown_counter": self.sched_d.cooldown_counter},
+                }, f)
+        except Exception as e:  # never kill training over bookkeeping
+            print("sched-state save failed:", e)
+
+    def _load_sched_state(self, directory):
+        try:
+            import json
+
+            path = self._sched_state_path(directory)
+            if not os.path.exists(path):
+                return
+            with open(path) as f:
+                blob = json.load(f)
+            for sched, key in ((self.sched_g, "g"), (self.sched_d, "d")):
+                s = blob.get(key, {})
+                sched.best = s.get("best", sched.best)
+                sched.num_bad_epochs = int(s.get("num_bad_epochs", 0))
+                sched.cooldown_counter = int(s.get("cooldown_counter", 0))
+            print(f"Restored plateau-scheduler state from {path}")
+        except Exception as e:
+            print("sched-state restore failed:", e)
 
     def _load_weights(self, path: str) -> dict:
         if path.endswith((".ckpt", ".pt", ".pth")):
@@ -284,6 +331,7 @@ class Trainer:
                     state = self._run_validation(state, epoch + 1, step_no)
                 if self._sync_preemption(step_no):
                     self.ckpt.save(state, {})
+                    self._save_sched_state()
                     print(f"preemption checkpoint written at step {step_no}")
                     return state
                 if step_no >= self.max_steps:
@@ -336,9 +384,13 @@ class Trainer:
             new_d = self.sched_d.step(monitored, float(cur_d))
             # replicate() (not device_put) — multi-process meshes reject
             # device_put to non-addressable shardings
+            if (new_g != float(cur_g) or new_d != float(cur_d)) and self.is_main:
+                print(f"ReduceLROnPlateau: lr G {float(cur_g):.2e}->{new_g:.2e}"
+                      f" D {float(cur_d):.2e}->{new_d:.2e} at step {step_no}")
             state = state.replace(
                 lr_g=replicate(self.mesh, jnp.asarray(new_g, jnp.float32)),
                 lr_d=replicate(self.mesh, jnp.asarray(new_d, jnp.float32)))
+            self._save_sched_state()
 
         self.ckpt.save(state, val)
 

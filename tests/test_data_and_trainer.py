@@ -319,6 +319,35 @@ def test_trainer_resume_by_path(tmp_path):
     assert int(jax.device_get(state.step)) == 8
 
 
+def test_trainer_resume_restores_sched_state(tmp_path):
+    """Full resume must restore the plateau-scheduler counters (PL restores
+    lr-scheduler state with the checkpoint): a preempted run that reset
+    best/num_bad would silently restart the patience window."""
+    from nirgan_tpu.train.trainer import Trainer
+
+    cfg = _cfg()
+    task = Px2PxTask(cfg)
+    dm = dataset_selector(cfg)
+    run = str(tmp_path / "run")
+    tr = Trainer(task, dm, cfg, logdir=run, max_steps=4,
+                 limit_val_batches=1, log_every=2)
+    tr.fit()
+    # simulate an in-flight patience window at checkpoint time
+    tr.sched_g.best = 0.123
+    tr.sched_g.num_bad_epochs = 3
+    tr.sched_d.best = 0.456
+    tr._save_sched_state()
+    assert os.path.exists(os.path.join(run, "sched_state.json"))
+
+    cfg.custom_configs.Model.load_checkpoint = os.path.join(run, "last")
+    tr2 = Trainer(task, dm, cfg, max_steps=8,
+                  limit_val_batches=1, log_every=2)
+    tr2._initial_state(image_size=dm.train_ds[0]["rgb"].shape[-1])
+    assert tr2.sched_g.best == 0.123
+    assert tr2.sched_g.num_bad_epochs == 3
+    assert tr2.sched_d.best == 0.456
+
+
 def test_trainer_resume_path_validation(tmp_path):
     """An explicit load_checkpoint path must resume or fail loudly — never
     silently start fresh in (and overwrite) the old run dir; .../best
