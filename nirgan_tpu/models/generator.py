@@ -102,9 +102,15 @@ class ResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        import os
+
         p = 1 if self.padding_type == "zero" else 0
+        # NIRGAN_FOLD_SERVE=1: experimental serve-side trunk fold (the
+        # fold is train-gated by measurement — forward-only it is a small
+        # net loss; benchmarks/servefold_ab.py re-measures in the real
+        # b128 serving graph)
         fold = (self.reflect_fold and self.padding_type == "reflect"
-                and train)
+                and (train or os.environ.get("NIRGAN_FOLD_SERVE") == "1"))
         conv1 = TorchConv(
             self.dim, 3, padding=p, use_bias=self.use_bias,
             kernel_init=self.kernel_init, param_dtype=self.param_dtype, name="conv1",
