@@ -89,6 +89,20 @@ def test_stem_blocked_reflect_exact(h, w, kh, outer):
                                rtol=0, atol=2e-5)
 
 
+def test_fold_serve_env_knob_exact(monkeypatch):
+    """NIRGAN_FOLD_SERVE=1 (the serve-side trunk-fold experiment,
+    benchmarks/servefold_ab.py) must not change serving outputs."""
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.random((2, 40, 40, 3), np.float32))
+    m = ResnetGenerator(input_nc=3, output_nc=1, ngf=8, n_blocks=2)
+    params = m.init(jax.random.PRNGKey(0), x[:1])
+    ref = m.apply(params, x)
+    monkeypatch.setenv("NIRGAN_FOLD_SERVE", "1")
+    got = m.apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=1e-5)
+
+
 def test_composed_reflect_idx_matches_jnp():
     from nirgan_tpu.ops.pad import composed_reflect_idx
 
