@@ -26,9 +26,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def host_ab():
     """Host-only share of the scene pipeline: window cutting + plateau
     blending over a 4096² scene, native (tileio.cc threads) vs the numpy
-    loops they replaced.  Forces CPU jax config so it never touches the
-    tunnel (CLAUDE.md: platform probes block when the tunnel is down)."""
+    loops they replaced.  Forces CPU BOTH ways (env var AND jax.config —
+    the sitecustomize has already snapshotted JAX_PLATFORMS=axon by the
+    time this runs, so the env var alone is ineffective; CLAUDE.md) so no
+    code path here can ever touch the tunnel."""
     os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     import numpy as np
 
     from nirgan_tpu.data import native_loader

@@ -49,6 +49,7 @@ def main():
         p = pad
         kh = k.shape[0]
         b, h, w, _ = x.shape
+        assert h == w, "where-assembly uses one size for both axes (A/B-only)"
         if p == 0 or kh != 2 * p + 1 or h < 4 * p + 1 or w < 4 * p + 1:
             return real_c2r(x, k, bias, pad=pad)
         y = conv2d(x, k, bias, padding=p)

@@ -106,9 +106,11 @@ class ResnetBlock(nn.Module):
 
         p = 1 if self.padding_type == "zero" else 0
         # NIRGAN_FOLD_SERVE=1: experimental serve-side trunk fold (the
-        # fold is train-gated by measurement — forward-only it is a small
-        # net loss; benchmarks/servefold_ab.py re-measures in the real
-        # b128 serving graph)
+        # fold is train-gated by measurement — in-context it loses 3-5%;
+        # benchmarks/servefold_ab.py).  Read at TRACE time and not part of
+        # any jit cache key: set it before the first compile (the A/B
+        # builds a fresh jit per variant); toggling it against an already-
+        # jitted function silently reuses the old graph.
         fold = (self.reflect_fold and self.padding_type == "reflect"
                 and (train or os.environ.get("NIRGAN_FOLD_SERVE") == "1"))
         conv1 = TorchConv(

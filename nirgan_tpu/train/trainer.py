@@ -226,17 +226,20 @@ class Trainer:
 
     # plateau-scheduler host state persists next to the checkpoints: a
     # resume that reset best/num_bad would silently restart the patience
-    # window (PL restores scheduler state on full resume)
-    def _sched_state_path(self, directory=None):
-        return os.path.join(directory or self.logdir, "sched_state.json")
+    # window (PL stores scheduler state INSIDE the checkpoint, so the
+    # counters are kept per checkpoint kind — resuming 'best' must not
+    # pick up the counters of a later 'last')
+    def _sched_state_path(self, which: str, directory=None):
+        return os.path.join(directory or self.logdir,
+                            f"sched_state_{which}.json")
 
-    def _save_sched_state(self):
+    def _save_sched_state(self, which: str = "last"):
         if not self.is_main:
             return
         try:
             import json
 
-            with open(self._sched_state_path(), "w") as f:
+            with open(self._sched_state_path(which), "w") as f:
                 json.dump({
                     "g": {"best": self.sched_g.best,
                           "num_bad_epochs": self.sched_g.num_bad_epochs,
@@ -252,9 +255,13 @@ class Trainer:
         try:
             import json
 
-            path = self._sched_state_path(directory)
+            path = self._sched_state_path(self._resume_which, directory)
             if not os.path.exists(path):
-                return
+                # pre-round-5 runs wrote one un-suffixed file
+                legacy = os.path.join(directory, "sched_state.json")
+                if not os.path.exists(legacy):
+                    return
+                path = legacy
             with open(path) as f:
                 blob = json.load(f)
             for sched, key in ((self.sched_g, "g"), (self.sched_d, "d")):
@@ -331,7 +338,7 @@ class Trainer:
                     state = self._run_validation(state, epoch + 1, step_no)
                 if self._sync_preemption(step_no):
                     self.ckpt.save(state, {})
-                    self._save_sched_state()
+                    self._save_sched_state("last")
                     print(f"preemption checkpoint written at step {step_no}")
                     return state
                 if step_no >= self.max_steps:
@@ -390,9 +397,15 @@ class Trainer:
             state = state.replace(
                 lr_g=replicate(self.mesh, jnp.asarray(new_g, jnp.float32)),
                 lr_d=replicate(self.mesh, jnp.asarray(new_d, jnp.float32)))
-            self._save_sched_state()
 
-        self.ckpt.save(state, val)
+        # sched state AFTER the checkpoints so a crash between the two
+        # leaves the previous consistent pair; 'best' counters are written
+        # only when this validation produced a new best checkpoint
+        improved = self.ckpt.save(state, val)
+        if monitored is not None:
+            self._save_sched_state("last")
+            if improved:
+                self._save_sched_state("best")
 
         # best-effort offline geo-validation (never kills training,
         # reference model/pix2pix.py:329-344)

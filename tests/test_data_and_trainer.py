@@ -332,20 +332,35 @@ def test_trainer_resume_restores_sched_state(tmp_path):
     tr = Trainer(task, dm, cfg, logdir=run, max_steps=4,
                  limit_val_batches=1, log_every=2)
     tr.fit()
-    # simulate an in-flight patience window at checkpoint time
+    # simulate an in-flight patience window at checkpoint time; the
+    # counters are stored per checkpoint kind (resuming 'best' must not
+    # pick up a later 'last' state — PL keeps them inside the ckpt)
+    tr.sched_g.best = 0.2
+    tr.sched_g.num_bad_epochs = 0
+    tr._save_sched_state("best")
     tr.sched_g.best = 0.123
     tr.sched_g.num_bad_epochs = 3
     tr.sched_d.best = 0.456
-    tr._save_sched_state()
-    assert os.path.exists(os.path.join(run, "sched_state.json"))
+    tr._save_sched_state("last")
+    assert os.path.exists(os.path.join(run, "sched_state_last.json"))
+    assert os.path.exists(os.path.join(run, "sched_state_best.json"))
 
     cfg.custom_configs.Model.load_checkpoint = os.path.join(run, "last")
     tr2 = Trainer(task, dm, cfg, max_steps=8,
                   limit_val_batches=1, log_every=2)
-    tr2._initial_state(image_size=dm.train_ds[0]["rgb"].shape[-1])
+    size = dm.train_ds[0]["rgb"].shape[-1]
+    tr2._initial_state(image_size=size)
     assert tr2.sched_g.best == 0.123
     assert tr2.sched_g.num_bad_epochs == 3
     assert tr2.sched_d.best == 0.456
+
+    # resuming 'best' restores the best-time counters, not the later ones
+    cfg.custom_configs.Model.load_checkpoint = os.path.join(run, "best")
+    tr3 = Trainer(task, dm, cfg, max_steps=8,
+                  limit_val_batches=1, log_every=2)
+    tr3._initial_state(image_size=size)
+    assert tr3.sched_g.best == 0.2
+    assert tr3.sched_g.num_bad_epochs == 0
 
 
 def test_trainer_resume_path_validation(tmp_path):
