@@ -121,29 +121,31 @@ def main():
         e2e = n_win / dt
         assert np.isfinite(out).all()
 
-        # compute-only: one resident batch, chained through a checksum
+        # compute-only: one resident batch, chained through an accumulator
+        # ARG (bench.py pattern).  The previous form chained via an f32
+        # bias ADDED TO THE INPUT (+ an eager s*1e-9 between dispatches),
+        # which alone cost 40% (216 → 128 t/s bisected round 5: the f32
+        # promotion rides the pad into the stem and the eager scalar adds
+        # a dispatch per iteration) — a harness artifact, not serving cost.
         tiles = jnp.asarray(
             rng.integers(0, 10000, size=(BS, TILE, TILE, 3)).astype(np.uint16))
 
-        def step(params, stats, x, tq, bias):
+        def step(params, stats, x, tq, acc):
             y = task.g_apply(params,
-                             task._dn_to_reflectance(x, task.compute_dtype)
-                             + bias, None, train=False, stats=stats,
-                             trunk_q=tq)
-            return y.astype(jnp.float32).mean()
+                             task._dn_to_reflectance(x, task.compute_dtype),
+                             None, train=False, stats=stats, trunk_q=tq)
+            return acc + jnp.sum(y.astype(jnp.float32))
 
         fn = jax.jit(step)
-        s = fn(task._params_g, task._stats_g, tiles, task._trunk_q,
-               jnp.float32(0))
-        float(s)  # compile + settle
+        acc = fn(task._params_g, task._stats_g, tiles, task._trunk_q,
+                 jnp.zeros((), jnp.float32))
+        float(acc)  # compile + settle
+        acc = jnp.zeros((), jnp.float32)
         N = 12
         t0 = time.perf_counter()
         for _ in range(N):
-            # chain: next dispatch depends on the previous result so the
-            # steady-state rate is honest through the tunnel
-            s = fn(task._params_g, task._stats_g, tiles, task._trunk_q,
-                   s * 1e-9)
-        cs = float(s)
+            acc = fn(task._params_g, task._stats_g, tiles, task._trunk_q, acc)
+        cs = float(acc)
         dt_c = time.perf_counter() - t0
         comp = N * BS / dt_c
         print(f"quant={quant}: end-to-end {e2e:6.1f} win/s "
