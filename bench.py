@@ -35,6 +35,7 @@ tunnel outage never again costs a round its bench record (round 3's
 ``BENCH_r03.json`` had ``parsed: null``).
 """
 
+import functools
 import glob
 import json
 import os
@@ -99,7 +100,10 @@ def measure_jax() -> "tuple[float, float]":
     state = task.init_state(seed=0, image_size=SIZE)
     params = state.params_g
 
-    @jax.jit
+    from nirgan_tpu.runtime import default_compiler_options
+    copts = default_compiler_options()  # +4.9%: benchmarks/xla_flags_ab.py
+
+    @functools.partial(jax.jit, compiler_options=copts)
     def fn(p, x, acc):
         pred = task.g_apply(p, x, train=False)
         return acc + jnp.sum(pred.astype(jnp.float32))
@@ -128,7 +132,7 @@ def measure_jax() -> "tuple[float, float]":
     try:
         qp = task.build_trunk_q(params, xs[0].astype(task.compute_dtype))
 
-        @jax.jit
+        @functools.partial(jax.jit, compiler_options=copts)
         def fn8(p, q, x, acc):
             pred = task.g_apply(p, x, train=False, trunk_q=q)
             return acc + jnp.sum(pred.astype(jnp.float32))

@@ -33,6 +33,7 @@ from typing import Optional, Tuple
 import numpy as np
 import jax
 import jax.numpy as jnp
+from nirgan_tpu.runtime.setup import default_compiler_options
 
 __all__ = ["synthesize_scene", "tile_origins", "plateau_weight"]
 
@@ -188,14 +189,15 @@ def synthesize_scene(task, rgb_chw: np.ndarray, *, tile: int = 512,
                                 train=False, stats=stats, trunk_q=trunk_q)
             return pred.astype(jnp.float32)
 
+        copts = default_compiler_options()
         if mesh is None:
-            return jax.jit(fn)
+            return jax.jit(fn, compiler_options=copts)
         from nirgan_tpu.parallel import batch_sharding, replicated_sharding
 
         repl, data = replicated_sharding(mesh), batch_sharding(mesh)
         return jax.jit(fn, in_shardings=(repl, repl, data,
                                          data if inject else repl, repl),
-                       out_shardings=data)
+                       out_shardings=data, compiler_options=copts)
 
     def window_coords(batch_wins):
         from nirgan_tpu.data.geotiff import pixel_lonlat

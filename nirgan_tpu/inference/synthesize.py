@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from nirgan_tpu.inference.histogram import histogram_match
 from nirgan_tpu.ops.resize import resize_bilinear
+from nirgan_tpu.runtime.setup import default_compiler_options
 
 __all__ = ["synthesize_dataset"]
 
@@ -99,14 +100,15 @@ def synthesize_dataset(task, dataset, out_path: str, batch_size: int = 8,
                 pred = histogram_match(pred, up)
             return pred.astype(jnp.float16)
 
+        copts = default_compiler_options()
         if mesh is None:
-            return jax.jit(fn)
+            return jax.jit(fn, compiler_options=copts)
         from nirgan_tpu.parallel import batch_sharding, replicated_sharding
 
         repl, data = replicated_sharding(mesh), batch_sharding(mesh)
         return jax.jit(fn, in_shardings=(repl, repl, data, data,
                                          data if inject else repl, repl),
-                       out_shardings=data)
+                       out_shardings=data, compiler_options=copts)
 
     n_written = 0
     pending = None  # overlap device compute with host pull of previous batch

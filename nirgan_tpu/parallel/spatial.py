@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 import jax
 from jax.sharding import NamedSharding, PartitionSpec as P
+from nirgan_tpu.runtime.setup import default_compiler_options
 
 __all__ = ["spatial_predict_fn", "predict_large_tile", "spatial_predict_fn_2d",
            "predict_tiles_2d"]
@@ -40,7 +41,8 @@ def spatial_predict_fn(task, mesh, axis: str = "data"):
         return pred.astype(np.float32)
 
     return jax.jit(fn, in_shardings=(repl, rows, repl),
-                   out_shardings=rows), rows
+                   out_shardings=rows,
+                   compiler_options=default_compiler_options()), rows
 
 
 def spatial_predict_fn_2d(task, mesh, batch_axis: str = "data",
@@ -60,7 +62,8 @@ def spatial_predict_fn_2d(task, mesh, batch_axis: str = "data",
         return pred.astype(np.float32)
 
     return jax.jit(fn, in_shardings=(repl, grid, repl),
-                   out_shardings=grid), grid
+                   out_shardings=grid,
+                   compiler_options=default_compiler_options()), grid
 
 
 def predict_tiles_2d(task, params_g, rgb_nchw, mesh, batch_axis: str = "data",

@@ -15,7 +15,46 @@ from __future__ import annotations
 
 import os
 
-__all__ = ["setup_runtime"]
+__all__ = ["setup_runtime", "default_compiler_options"]
+
+
+def default_compiler_options(graph: str = "serve") -> "dict[str, str] | None":
+    """Per-compile XLA options for the hot jits (pass as
+    ``jax.jit(..., compiler_options=...)``).
+
+    ``xla_tpu_scoped_vmem_limit_kib=65536`` raises the VMEM budget XLA's
+    fusion/emitter passes may assume per scoped allocation; measured on the
+    real graphs (``benchmarks/xla_flags_ab.py``, RESULTS.md round 5 cont.)
+    it buys **+4.9% serving throughput** (292.4 → 306.8 tiles/s b128 @512²)
+    — the first lever that moved the serve headline in four rounds — but
+    makes the fused TRAIN step monotonically SLOWER above 32 MiB (121.6 →
+    124.5 ms b32 @256² at 64 MiB), so it is scoped to forward/serving
+    graphs: ``graph="train"`` returns None (compiler defaults).  Value is
+    env-tunable via ``NIRGAN_XLA_VMEM_KIB`` (``0`` disables).
+
+    Only emitted when the *configured* platform is a TPU backend — the CPU
+    compiler rejects TPU options (the test suite runs on an 8-device CPU
+    mesh).  The platform is decided from configuration (``jax_platforms``
+    config / ``JAX_PLATFORMS`` env), NEVER from ``jax.devices()``, which
+    blocks forever when the axon tunnel is down (CLAUDE.md).
+    """
+    if graph == "train":
+        return None
+    kib = os.environ.get("NIRGAN_XLA_VMEM_KIB", "65536")
+    if not kib or kib == "0":
+        return None
+    plats = ""
+    try:
+        import jax
+
+        plats = jax.config.jax_platforms or ""
+    except Exception:
+        pass
+    plats = plats or os.environ.get("JAX_PLATFORMS", "")
+    plat = plats.split(",")[0].strip().lower()
+    if plat in ("axon", "tpu"):
+        return {"xla_tpu_scoped_vmem_limit_kib": kib}
+    return None
 
 
 def setup_runtime(cache_dir: str | None = None, debug_nans: bool = False,

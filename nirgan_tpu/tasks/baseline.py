@@ -20,6 +20,7 @@ from nirgan_tpu.losses import calculate_metrics, mse_loss
 from nirgan_tpu.models.baselines import build_baseline
 from nirgan_tpu.models.layers import dtype_of
 from nirgan_tpu.parallel import batch_sharding, replicated_sharding
+from nirgan_tpu.runtime.setup import default_compiler_options
 from nirgan_tpu.tasks.px2px import nchw_to_nhwc, nhwc_to_nchw
 
 __all__ = ["BaselineTask", "BaselineState"]
@@ -92,11 +93,12 @@ class BaselineTask:
             return (state.replace(step=state.step + 1, params_g=params, opt_g=opt),
                     {k: v.astype(jnp.float32) for k, v in metrics.items()})
 
+        copts = default_compiler_options("train")
         if mesh is None:
-            return jax.jit(step, donate_argnums=(0,))
+            return jax.jit(step, donate_argnums=(0,), compiler_options=copts)
         repl, data = replicated_sharding(mesh), batch_sharding(mesh)
         return jax.jit(step, in_shardings=(repl, data), out_shardings=(repl, repl),
-                       donate_argnums=(0,))
+                       donate_argnums=(0,), compiler_options=copts)
 
     def make_eval_step(self, mesh=None):
         def step(state, batch):
@@ -105,10 +107,12 @@ class BaselineTask:
             return pred.astype(jnp.float32), calculate_metrics(
                 pred, batch["nir"], "val", mask=batch.get("_valid"))
 
+        copts = default_compiler_options()
         if mesh is None:
-            return jax.jit(step)
+            return jax.jit(step, compiler_options=copts)
         repl, data = replicated_sharding(mesh), batch_sharding(mesh)
-        return jax.jit(step, in_shardings=(repl, data), out_shardings=(data, repl))
+        return jax.jit(step, in_shardings=(repl, data), out_shardings=(data, repl),
+                       compiler_options=copts)
 
     def bind(self, state_or_params):
         self._params = getattr(state_or_params, "params_g", state_or_params)

@@ -49,6 +49,7 @@ from nirgan_tpu.models.layers import dtype_of
 from nirgan_tpu.ops.pad import reflect_pad2d
 from nirgan_tpu.ops.resize import resize_bicubic
 from nirgan_tpu.parallel import batch_sharding, replicated_sharding
+from nirgan_tpu.runtime.setup import default_compiler_options
 from nirgan_tpu.train.state import TrainState, adam_for, create_state
 
 __all__ = ["Px2PxTask"]
@@ -363,8 +364,11 @@ class Px2PxTask:
                                       stats_d=stats_d_final)
             return new_state, metrics
 
+        # compiler_options('train') is None — the serve-graph VMEM option
+        # measured SLOWER on the fused train step (see runtime.setup)
+        copts = default_compiler_options("train")
         if mesh is None:
-            return jax.jit(step, donate_argnums=(0,))
+            return jax.jit(step, donate_argnums=(0,), compiler_options=copts)
         repl = replicated_sharding(mesh)
         data = batch_sharding(mesh)
         return jax.jit(
@@ -372,6 +376,7 @@ class Px2PxTask:
             in_shardings=(repl, data),
             out_shardings=(repl, repl),
             donate_argnums=(0,),
+            compiler_options=copts,
         )
 
     # ---------------------------------------------------------- eval step
@@ -395,7 +400,7 @@ class Px2PxTask:
         # replicated, batch data-sharded by shard_batch), and leaving them
         # free lets uneven val batches (reference val batch 5; any tail
         # batch) run replicated instead of failing mesh divisibility.
-        return jax.jit(step)
+        return jax.jit(step, compiler_options=default_compiler_options())
 
     # ------------------------------------------------------- host-side API
     def extract_batch(self, batch):
@@ -506,7 +511,7 @@ class Px2PxTask:
                                 stats=stats_g, trunk_q=trunk_q)
             return pred.astype(jnp.float32)
 
-        return jax.jit(fn)
+        return jax.jit(fn, compiler_options=default_compiler_options())
 
     def bucket_for(self, h: int, w: int) -> int:
         """Smallest static bucket covering (h, w); grows in bucket-sized

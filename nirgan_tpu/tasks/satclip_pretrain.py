@@ -22,6 +22,7 @@ from nirgan_tpu.models.satclip.model import SatCLIP, satclip_loss
 from nirgan_tpu.models.satclip.timm_towers import PRETRAINED_TOWERS
 from nirgan_tpu.models.satclip.positional_encoding import get_positional_encoding
 from nirgan_tpu.parallel import batch_sharding, replicated_sharding
+from nirgan_tpu.runtime.setup import default_compiler_options
 
 __all__ = ["SatClipPretrainTask", "SatClipTrainState"]
 
@@ -210,11 +211,12 @@ class SatClipPretrainTask:
                                   batch_stats=new_stats, opt=opt, rng=rng),
                     {"train_loss": loss.astype(jnp.float32)})
 
+        copts = default_compiler_options("train")
         if mesh is None:
-            return jax.jit(step, donate_argnums=(0,))
+            return jax.jit(step, donate_argnums=(0,), compiler_options=copts)
         repl, data = replicated_sharding(mesh), batch_sharding(mesh)
         return jax.jit(step, in_shardings=(repl, data), out_shardings=(repl, repl),
-                       donate_argnums=(0,))
+                       donate_argnums=(0,), compiler_options=copts)
 
     def make_eval_step(self):
         def step(state: SatClipTrainState, batch):
@@ -225,7 +227,7 @@ class SatClipPretrainTask:
                                    batch["loc_features"], train=False)
             return {"val_loss": satclip_loss(*out).astype(jnp.float32)}
 
-        return jax.jit(step)
+        return jax.jit(step, compiler_options=default_compiler_options())
 
     # ------------------------------------------------------------- location
     def location_encoder(self, state: SatClipTrainState):
