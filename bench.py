@@ -132,7 +132,9 @@ def measure_jax() -> "tuple[float, float]":
     try:
         qp = task.build_trunk_q(params, xs[0].astype(task.compute_dtype))
 
-        @functools.partial(jax.jit, compiler_options=copts)
+        copts8 = default_compiler_options("serve_int8")
+
+        @functools.partial(jax.jit, compiler_options=copts8)
         def fn8(p, q, x, acc):
             pred = task.g_apply(p, x, train=False, trunk_q=q)
             return acc + jnp.sum(pred.astype(jnp.float32))

@@ -42,20 +42,42 @@ TRAIN_BATCH = _env_int("NIRGAN_FLAGAB_TRAIN_BATCH", 32)
 TRAIN_SIZE = _env_int("NIRGAN_FLAGAB_TRAIN_SIZE", 256)
 TRAIN_ITERS = _env_int("NIRGAN_FLAGAB_TRAIN_ITERS", 10)
 
+def _vmem(kib):
+    return {"xla_tpu_scoped_vmem_limit_kib": str(kib)}
+
 CONFIGS = [
     ("baseline", {}),
-    ("vmem32m", {"xla_tpu_scoped_vmem_limit_kib": "32768"}),
-    ("vmem48m", {"xla_tpu_scoped_vmem_limit_kib": "49152"}),
-    ("vmem64m", {"xla_tpu_scoped_vmem_limit_kib": "65536"}),
-    ("vmem96m", {"xla_tpu_scoped_vmem_limit_kib": "98304"}),
-    ("vmem128m", {"xla_tpu_scoped_vmem_limit_kib": "131072"}),
+    ("vmem32m", _vmem(32768)),
+    ("vmem48m", _vmem(49152)),
+    ("vmem64m", _vmem(65536)),
+    ("vmem96m", _vmem(98304)),
+    ("vmem128m", _vmem(131072)),
     ("lhs", {"xla_tpu_enable_latency_hiding_scheduler": "true"}),
     ("no_rwb_fusion", {"xla_tpu_rwb_fusion": "false"}),
     ("no_dot_strength_red", {"xla_tpu_enable_dot_strength_reduction": "false"}),
 ]
 
+# follow-up passes (first sweep's verdicts in RESULTS.md round 5 cont.):
+# fine = serve optimum neighbourhood; train2 = is the 32 MiB train win real
+# (repeats); int8 = the int8 trunk leg's own optimum (different VMEM
+# appetite than bf16)
+CONFIGS_BY_MODE = {
+    "serve": CONFIGS,
+    "train": CONFIGS,
+    "fine": [("baseline", {}), ("vmem56m", _vmem(57344)),
+             ("vmem64m", _vmem(65536)), ("vmem72m", _vmem(73728)),
+             ("vmem80m", _vmem(81920))],
+    "train2": [("baseline", {}), ("vmem24m", _vmem(24576)),
+               ("vmem32m", _vmem(32768)), ("vmem40m", _vmem(40960))],
+    "int8": [("baseline", {}), ("vmem32m", _vmem(32768)),
+             ("vmem64m", _vmem(65536)), ("vmem96m", _vmem(98304)),
+             ("vmem128m", _vmem(131072))],
+}
 
-def main(train: bool):
+
+def main(mode: str = "serve", repeat: int = 1):
+    train = mode in ("train", "train2")
+    int8 = mode == "int8"
     from nirgan_tpu.runtime import setup_runtime
 
     setup_runtime()
@@ -107,6 +129,14 @@ def main(train: bool):
 
         xs = [jnp.asarray(rng.random((BATCH, SIZE, SIZE, 3), dtype=np.float32))
               for _ in range(4)]
+        if int8:
+            qp = task.build_trunk_q(params, xs[0].astype(task.compute_dtype))
+
+            @jax.jit
+            def fn(p, x, acc):
+                pred = task.g_apply(p, x, train=False, trunk_q=qp)
+                return acc + jnp.sum(pred.astype(jnp.float32))
+
         lowered = fn.lower(params, xs[0], jnp.zeros((), jnp.float32))
 
         def timed(call):
@@ -125,7 +155,7 @@ def main(train: bool):
 
     print(f"jit anchor (bench.py path): {jit_anchor}", flush=True)
     rows = []
-    for name, opts in CONFIGS:
+    for name, opts in CONFIGS_BY_MODE[mode]:
         t0 = time.time()
         try:
             exe = lowered.compile(compiler_options=opts or None)
@@ -133,11 +163,15 @@ def main(train: bool):
             rows.append((name, opts, None, f"REJECTED: {str(e)[:90]}"))
             print(f"{name}: REJECTED ({str(e)[:90]})", flush=True)
             continue
-        rec = timed(exe)
+        recs = [timed(exe) for _ in range(repeat)]
+        rec = recs[0] if repeat == 1 else {
+            k: [r[k] for r in recs] for k in recs[0]}
         rows.append((name, opts, rec, f"compile+run {time.time()-t0:.0f}s"))
         print(f"{name}: {rec} ({time.time()-t0:.0f}s)", flush=True)
 
-    print(f"\n| config | compiler_options | {'train b32@256²' if train else 'serve b128@512²'} |")
+    label = ("train b32@256²" if train else
+             ("int8 serve b128@512²" if int8 else "serve b128@512²"))
+    print(f"\n| config | compiler_options | {label} |")
     print("|---|---|---|")
     print(f"| jit anchor | (bench.py path) | {json.dumps(jit_anchor)} |")
     for name, opts, rec, note in rows:
@@ -146,4 +180,14 @@ def main(train: bool):
 
 
 if __name__ == "__main__":
-    main(train="--train" in sys.argv)
+    _mode = "serve"
+    for a in sys.argv[1:]:
+        if a.startswith("--mode="):
+            _mode = a.split("=", 1)[1]
+        elif a == "--train":
+            _mode = "train"
+    _rep = 1
+    for a in sys.argv[1:]:
+        if a.startswith("--repeat="):
+            _rep = int(a.split("=", 1)[1])
+    main(_mode, _rep)

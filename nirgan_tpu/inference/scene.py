@@ -189,7 +189,8 @@ def synthesize_scene(task, rgb_chw: np.ndarray, *, tile: int = 512,
                                 train=False, stats=stats, trunk_q=trunk_q)
             return pred.astype(jnp.float32)
 
-        copts = default_compiler_options()
+        copts = default_compiler_options(
+            "serve_int8" if task.serving_quant == "int8" else "serve")
         if mesh is None:
             return jax.jit(fn, compiler_options=copts)
         from nirgan_tpu.parallel import batch_sharding, replicated_sharding

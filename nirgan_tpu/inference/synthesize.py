@@ -100,7 +100,8 @@ def synthesize_dataset(task, dataset, out_path: str, batch_size: int = 8,
                 pred = histogram_match(pred, up)
             return pred.astype(jnp.float16)
 
-        copts = default_compiler_options()
+        copts = default_compiler_options(
+            "serve_int8" if task.serving_quant == "int8" else "serve")
         if mesh is None:
             return jax.jit(fn, compiler_options=copts)
         from nirgan_tpu.parallel import batch_sharding, replicated_sharding

@@ -40,9 +40,10 @@ def spatial_predict_fn(task, mesh, axis: str = "data"):
                             train=False, trunk_q=trunk_q)
         return pred.astype(np.float32)
 
+    graph = "serve_int8" if task.serving_quant == "int8" else "serve"
     return jax.jit(fn, in_shardings=(repl, rows, repl),
                    out_shardings=rows,
-                   compiler_options=default_compiler_options()), rows
+                   compiler_options=default_compiler_options(graph)), rows
 
 
 def spatial_predict_fn_2d(task, mesh, batch_axis: str = "data",
@@ -61,9 +62,10 @@ def spatial_predict_fn_2d(task, mesh, batch_axis: str = "data",
                             train=False, trunk_q=trunk_q)
         return pred.astype(np.float32)
 
+    graph = "serve_int8" if task.serving_quant == "int8" else "serve"
     return jax.jit(fn, in_shardings=(repl, grid, repl),
                    out_shardings=grid,
-                   compiler_options=default_compiler_options()), grid
+                   compiler_options=default_compiler_options(graph)), grid
 
 
 def predict_tiles_2d(task, params_g, rgb_nchw, mesh, batch_axis: str = "data",

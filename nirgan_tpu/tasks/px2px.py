@@ -511,7 +511,8 @@ class Px2PxTask:
                                 stats=stats_g, trunk_q=trunk_q)
             return pred.astype(jnp.float32)
 
-        return jax.jit(fn, compiler_options=default_compiler_options())
+        graph = "serve_int8" if self.serving_quant == "int8" else "serve"
+        return jax.jit(fn, compiler_options=default_compiler_options(graph))
 
     def bucket_for(self, h: int, w: int) -> int:
         """Smallest static bucket covering (h, w); grows in bucket-sized

@@ -34,6 +34,9 @@ def test_tpu_platform_emits_vmem_option(monkeypatch):
         monkeypatch.setenv("JAX_PLATFORMS", "axon")
         opts = default_compiler_options()
         assert opts == {"xla_tpu_scoped_vmem_limit_kib": "65536"}
+        # int8 trunk serving peaks at a higher scoped budget (RESULTS.md)
+        assert default_compiler_options("serve_int8") == {
+            "xla_tpu_scoped_vmem_limit_kib": "98304"}
 
         monkeypatch.setenv("NIRGAN_XLA_VMEM_KIB", "32768")
         assert default_compiler_options() == {
